@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship enrichment DAG on /root/testdata/sf0.001.
+queries()      — named operator queries (SURVEY.md §2) over (spark, sf_dir).
+oracle_sql()   — DuckDB twins; see tiff_enrichment_pipeline_spark/queries.py
+                 for the determinism rules that keep value-hashes identical.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full geospatial enrichment (cells → PIP land-cover →
+    kNN weather → elevation) of the sf0.001 image table."""
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    sf_dir = "/root/testdata/sf0.001"
+    images = geotables.images_geo(spark, sf_dir)
+    return enrich(
+        images,
+        landcover=geotables.landcover_polygons(spark),
+        stations=geotables.stations(spark, sf_dir),
+        dem_tiles=dem_tiles_df(spark),
+    ).drop("weather")  # map column: keep driver smoke schema simple
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tiff_enrichment_pipeline_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tiff_enrichment_pipeline_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,111 @@
+"""Golden-value kernel tests — the reference's exact constants
+(reference: tests/test_vegetation_indices.py:29-88, core/processor.py:361-477)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiff_enrichment_pipeline_spark.raster import codec, kernels
+
+
+def test_ndvi_golden():
+    nir = np.array([[0.8, 0.7], [0.6, 0.5]])
+    red = np.array([[0.2, 0.3], [0.4, 0.5]])
+    expected = np.array([[0.6, 0.4], [0.2, 0.0]])
+    np.testing.assert_allclose(kernels.ndvi(nir, red), expected, atol=1e-2)
+
+
+def test_ndre_golden():
+    nir = np.array([[0.8, 0.6]])
+    re = np.array([[0.4, 0.2]])
+    np.testing.assert_allclose(kernels.ndre(nir, re), [[1 / 3, 0.5]], atol=1e-6)
+
+
+def test_gndvi_golden():
+    nir = np.array([[0.9]])
+    green = np.array([[0.3]])
+    np.testing.assert_allclose(kernels.gndvi(nir, green), [[0.5]], atol=1e-6)
+
+
+def test_savi_golden():
+    nir = np.array([[0.8]])
+    red = np.array([[0.2]])
+    # (0.8-0.2)*1.5/(0.8+0.2+0.5) = 0.9/1.5 = 0.6
+    np.testing.assert_allclose(kernels.savi(nir, red), [[0.6]], atol=1e-6)
+
+
+def test_zero_division_yields_zero():
+    z = np.zeros((2, 2))
+    for fn in (kernels.ndvi, kernels.ndre, kernels.gndvi, kernels.ndwi):
+        assert np.all(fn(z, z) == 0.0)
+    assert np.all(np.isfinite(kernels.evi(z, z, z)))
+
+
+def test_all_indices_finite_and_ranged():
+    rng = np.random.default_rng(42)
+    bands = {
+        n: rng.uniform(0, 1, (16, 16)).astype(np.float32)
+        for n in ["blue", "green", "red", "nir", "red_edge"]
+    }
+    for name, fn in kernels.ALL_INDICES.items():
+        v = fn(bands)
+        assert np.all(np.isfinite(v)), name
+        if name in ("ndvi", "ndre", "gndvi", "ndwi", "msavi"):
+            assert v.min() >= -1.0 - 1e-5 and v.max() <= 1.0 + 1e-5, name
+
+
+def test_calibration_and_packing():
+    dn = np.array([[0.5, 7.0], [0.0, 6.5535]])
+    cal = kernels.calibrate(dn)  # ×10000 clip [0,65535] → u16
+    assert cal.dtype == np.uint16
+    np.testing.assert_array_equal(cal, [[5000, 65535], [0, 65535]])
+
+    idx = np.array([[-1.0, 0.0], [1.0, 0.5]], dtype=np.float32)
+    packed = kernels.pack_index_u16(idx)
+    np.testing.assert_array_equal(packed, [[0, 32767], [65535, 49151]])
+    unpacked = kernels.unpack_index_u16(packed)
+    np.testing.assert_allclose(unpacked, idx, atol=1e-4)
+
+
+def test_veg_coverage():
+    nd = np.array([0.1, 0.3, 0.6, 0.9, -0.2])
+    veg, dense = kernels.veg_coverage(nd)
+    assert veg == pytest.approx(60.0)
+    assert dense == pytest.approx(40.0)
+
+
+def test_codec_roundtrip_and_psnr():
+    rng = np.random.default_rng(1)
+    band = rng.integers(0, 65535, (64, 64)).astype(np.uint16)
+    assert np.array_equal(
+        codec.decode(codec.encode_raw_u16(band), 64, 64, "raw-u16"), band
+    )
+    lossy = codec.decode(codec.encode_lossy_q12(band), 64, 64, "lossy-q12")
+    p = codec.psnr_db(band, lossy)
+    assert p >= 40.0  # the input_hint lossy invariant
+    assert codec.psnr_db(band, band) == float("inf")
+
+
+def test_align_band_identity_and_shift():
+    band = (np.arange(64 * 64) % 60000).reshape(64, 64).astype(np.uint16)
+    t = (0.001, 0.0, 5.0, 0.0, -0.001, 52.0)
+    out = kernels.align_band(band, t, t, (64, 64))
+    np.testing.assert_array_equal(out, band)
+
+    # half-pixel shift → bilinear average of horizontal neighbors
+    t2 = (0.001, 0.0, 5.0 + 0.0005, 0.0, -0.001, 52.0)
+    out2 = kernels.align_band(band, t, t2, (64, 64))
+    inner = out2[1:-1, 1:-2].astype(np.float64)
+    expected = (band[1:-1, 1:-2].astype(np.float64) + band[1:-1, 2:-1]) / 2
+    np.testing.assert_allclose(inner, expected, atol=1.0)
+
+
+def test_band_stats():
+    a = np.array([[0, 100], [200, 300]], dtype=np.uint16)
+    s = kernels.band_stats(a)
+    assert s["px_min"] == 0 and s["px_max"] == 300
+    assert s["px_mean"] == 150.0
+    assert s["nodata_count"] == 1.0
+    assert s["zero_ratio"] == 0.25
+    assert s["p50"] == 150.0

@@ -1,0 +1,142 @@
+"""Spatial operator tests with in-test brute-force oracles
+(FIXTURES.md §2-4 golden style)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark import geotables, grid
+from tiff_enrichment_pipeline_spark.fixtures import (
+    dem_tiles_df,
+    landcover_concave_df,
+)
+from tiff_enrichment_pipeline_spark.operators.elevation import (
+    bilinear_sample_np,
+    elevation_join,
+)
+from tiff_enrichment_pipeline_spark.operators.knn_join import knn_station_join
+from tiff_enrichment_pipeline_spark.operators.pip_join import landcover_pip_join
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    R = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = math.radians(lat2 - lat1)
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dphi / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * R * math.asin(math.sqrt(a))
+
+
+def test_pip_golden_point(spark):
+    """Known coordinate → known land-cover class (north_star fixture)."""
+    img = spark.createDataFrame(
+        [(1, 5.0, 52.0), (2, 40.0, 10.0)], "image_id long, lon double, lat double"
+    )
+    lc = geotables.landcover_polygons(spark)
+    out = {
+        r["image_id"]: r
+        for r in landcover_pip_join(img, lc, how="left").collect()
+    }
+    gx, gy = int((5.0 - 3.0) / 0.1), int((52.0 - 50.7) / 0.1)
+    want = geotables.LC_CLASSES[(gx * 7 + gy * 3) % 10]
+    assert out[1]["land_cover_class"] == want
+    assert out[2]["land_cover_class"] is None  # outside NL box
+
+
+def test_pip_concave_even_odd(spark):
+    """L-shape: the notch (top-right quadrant of the bbox) is OUTSIDE —
+    bbox prefilter alone would wrongly match; even-odd refinement fixes."""
+    img = spark.createDataFrame(
+        [
+            (1, 5.05, 52.05),  # inside the L foot
+            (2, 5.15, 52.15),  # in the notch → no match
+            (3, 5.05, 52.15),  # upper-left arm → inside
+        ],
+        "image_id long, lon double, lat double",
+    )
+    lc = landcover_concave_df(spark)
+    out = {
+        r["image_id"]: r["land_cover_class"]
+        for r in landcover_pip_join(
+            img, lc, how="left", rects_only_nonoverlapping=False
+        ).collect()
+    }
+    assert out[1] == "water"
+    assert out[2] is None
+    assert out[3] == "water"
+
+
+def test_knn_exact_vs_bruteforce(spark):
+    """kNN join must equal brute-force for every image, including images far
+    outside station coverage (fallback path)."""
+    sf = "/root/testdata/sf0.001"
+    img = geotables.images_geo(spark, sf).select("image_id", "lon", "lat").limit(200)
+    st = geotables.stations(spark, sf)
+    got = {
+        (r["image_id"], r["rank"]): r["station_id"]
+        for r in knn_station_join(img, st, k=3).collect()
+    }
+    stations = st.collect()
+    for r in img.collect():
+        dists = sorted(
+            (
+                _haversine(r["lat"], r["lon"], s["st_lat"], s["st_lon"]),
+                s["station_id"],
+            )
+            for s in stations
+        )
+        for rank in (1, 2, 3):
+            assert got[(r["image_id"], rank)] == dists[rank - 1][1], (
+                r["image_id"],
+                rank,
+            )
+
+
+def test_knn_uses_fallback_for_sparse_regions(spark):
+    """Images far from all stations must still get exact answers."""
+    img = spark.createDataFrame(
+        [(1, -170.0, -80.0)], "image_id long, lon double, lat double"
+    )
+    st = geotables.stations(spark, "/root/testdata/sf0.001")
+    rows = knn_station_join(img, st, k=3).collect()
+    assert len(rows) == 3
+    assert {r["rank"] for r in rows} == {1, 2, 3}
+
+
+def test_elevation_bilinear_golden(spark):
+    """Analytic DEM: sampled elevation ≈ 100+50 sin(lon)+30 cos(lat) (within
+    grid interpolation error), exact vs the numpy sampler."""
+    pts = [(1, 5.0, 52.0), (2, 6.283, 51.3), (3, 100.0, 10.0)]
+    img = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    out = {r["image_id"]: r for r in elevation_join(img, dem_tiles_df(spark)).collect()}
+
+    for i, lon, lat in pts[:2]:
+        analytic = 100.0 + 50.0 * math.sin(lon) + 30.0 * math.cos(lat)
+        assert out[i]["elevation"] == pytest.approx(analytic, abs=0.05)
+        from tiff_enrichment_pipeline_spark.fixtures import dem_tile_grid
+
+        tx, ty = int(np.floor(lon / 0.1)), int(np.floor(lat / 0.1))
+        exact = bilinear_sample_np(dem_tile_grid(tx, ty), lon, lat, tx, ty)
+        assert out[i]["elevation"] == pytest.approx(exact, abs=1e-12)
+    assert out[3]["elevation"] is None  # off-DEM
+
+
+def test_polygon_cover_is_superset(spark):
+    from tiff_enrichment_pipeline_spark.operators.pip_join import polygon_cell_cover
+
+    lc = geotables.landcover_polygons(spark)
+    cover = polygon_cell_cover(lc, grid.RES8)
+    # every polygon's own center cell must be in its cover
+    centers = lc.select(
+        "polygon_id",
+        grid.cell_of(
+            (F.col("xmin") + F.col("xmax")) / 2, (F.col("ymin") + F.col("ymax")) / 2,
+            grid.RES8,
+        ).alias("cell"),
+    )
+    missing = centers.join(cover, ["polygon_id", "cell"], "left_anti").count()
+    assert missing == 0

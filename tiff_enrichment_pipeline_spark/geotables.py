@@ -1,0 +1,251 @@
+"""Deterministic geo tables derived from the driver's parquet tables.
+
+The driver's correctness gate compares Spark results against DuckDB running
+ANSI SQL over the same parquet files (region nation customer supplier part
+orders lineitem events documents embeddings). To give the *geospatial*
+operators (cell encode, PIP land-cover, kNN weather, elevation sampling) a
+real value-level oracle, the geo inputs are not random fixtures but pure
+arithmetic derivations of driver tables — the same expressions written twice:
+once as Catalyst columns (here) and once as SQL text (``*_sql`` twins), so
+DuckDB reproduces them bit-for-bit (integer arithmetic) or to double
+round-off (trig), with final outputs rounded to fixed decimals.
+
+Geometry mirrors FIXTURES.md:
+- ``images_geo``    — one geotagged image per ``orders`` row; 60% in the NL
+  box (reference validation bounds, src/pipeline/main.py:477-482), 20% in a
+  deliberate hot cluster (~0.02°, a few res-8 cells — the skew fixture),
+  20% world-wide.
+- ``stations``      — weather stations on a jittered grid from ``supplier``
+  (reference schema: scripts/create-tables.sql:128-132, api_source
+  'open_meteo' scripts/init-db.sql:60).
+- ``landcover``     — 43x29 half-open 0.1° rectangles tiling the NL box, 10
+  ESA WorldCover-style classes (reference schema:
+  scripts/create-tables.sql:135-139, 'esa_worldcover' init-db.sql:61).
+- ``elevation``     — analytic DEM ``100 + 50*sin(lon) + 30*cos(lat)``
+  quantized to float32, 32x32 grids per 0.1° tile (reference schema:
+  scripts/create-tables.sql:122-126, 'usgs_3dep'/'nasa_srtm'
+  init-db.sql:59,62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# -- shared constants (single source of truth for Spark AND SQL text) --------
+MULT1 = 2654435761  # Knuth multiplicative-hash constants
+MULT2 = 1597334677
+MOD_U = 1000000
+
+NL_LON0, NL_LAT0 = 3.0, 50.7
+NL_LON_SPAN, NL_LAT_SPAN = 4.3, 2.9
+HOT_LON, HOT_LAT, HOT_SPAN = 4.89, 52.37, 0.02
+
+ST_LON0, ST_LAT0 = 3.1, 50.8
+ST_DLON, ST_DLAT = 0.24, 0.22
+ST_COLS, ST_SLOTS = 18, 234
+
+LC_CELL = 0.1
+LC_NX, LC_NY = 43, 29
+LC_CLASSES = [
+    "tree_cover", "shrubland", "grassland", "cropland", "built_up",
+    "bare", "snow_ice", "water", "wetland", "mangroves",
+]
+
+DEM_TILE_DEG = 0.1
+DEM_N = 32  # 32x32 samples per tile
+DEM_STEP = DEM_TILE_DEG / DEM_N
+
+
+# ---------------------------------------------------------------------------
+# images_geo
+# ---------------------------------------------------------------------------
+
+def images_geo(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
+    """Geotagged image-metadata table: one image per orders row.
+
+    ``partitions``: the driver testdata is a single parquet row-group, which
+    would pin every downstream map stage to ONE task; default repartitions
+    to the session's default parallelism. (At production scale the input
+    table has thousands of natural splits and this becomes a no-op —
+    pass ``partitions=0`` to skip.)
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if partitions != 0:
+        o = o.repartition(partitions or spark.sparkContext.defaultParallelism)
+    k = F.col("o_orderkey")
+    u1 = ((k * MULT1) % MOD_U) / F.lit(float(MOD_U))
+    u2 = ((k * MULT2) % MOD_U) / F.lit(float(MOD_U))
+    sel = k % 10
+    lon = (
+        F.when(sel < 2, F.lit(HOT_LON) + (u1 - 0.5) * HOT_SPAN)
+        .when(sel < 8, F.lit(NL_LON0) + u1 * NL_LON_SPAN)
+        .otherwise(F.lit(-180.0) + u1 * 360.0)
+    )
+    lat = (
+        F.when(sel < 2, F.lit(HOT_LAT) + (u2 - 0.5) * HOT_SPAN)
+        .when(sel < 8, F.lit(NL_LAT0) + u2 * NL_LAT_SPAN)
+        .otherwise(F.lit(-90.0) + u2 * 180.0)
+    )
+    return o.select(
+        k.alias("image_id"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        (F.lit(20.0) + u2 * 100.0).alias("alt"),
+        F.col("o_orderdate").alias("captured_at"),
+    )
+
+
+def images_geo_sql() -> str:
+    """CTE body reproducing images_geo in DuckDB SQL (FROM orders)."""
+    u1 = f"(((o_orderkey*{MULT1})%{MOD_U})/{float(MOD_U)})"
+    u2 = f"(((o_orderkey*{MULT2})%{MOD_U})/{float(MOD_U)})"
+    return f"""
+      SELECT o_orderkey AS image_id,
+        CASE WHEN o_orderkey%10 < 2 THEN {HOT_LON} + ({u1}-0.5)*{HOT_SPAN}
+             WHEN o_orderkey%10 < 8 THEN {NL_LON0} + {u1}*{NL_LON_SPAN}
+             ELSE -180.0 + {u1}*360.0 END AS lon,
+        CASE WHEN o_orderkey%10 < 2 THEN {HOT_LAT} + ({u2}-0.5)*{HOT_SPAN}
+             WHEN o_orderkey%10 < 8 THEN {NL_LAT0} + {u2}*{NL_LAT_SPAN}
+             ELSE -90.0 + {u2}*180.0 END AS lat,
+        20.0 + {u2}*100.0 AS alt,
+        o_orderdate AS captured_at
+      FROM orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# stations
+# ---------------------------------------------------------------------------
+
+def stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weather-station table from supplier: jittered grid over the NL box."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    idx = k % ST_SLOTS
+    gx = idx % ST_COLS
+    gy = F.floor(idx / ST_COLS)
+    jx = ((k * 7919) % 1000) / F.lit(1000.0) * 0.01
+    jy = ((k * 104729) % 1000) / F.lit(1000.0) * 0.01
+    lat = F.lit(ST_LAT0) + gy * ST_DLAT + jy
+    return s.select(
+        k.alias("station_id"),
+        (F.lit(ST_LON0) + gx * ST_DLON + jx).alias("st_lon"),
+        lat.alias("st_lat"),
+        (F.lit(15.0) + F.lit(10.0) * F.sin(lat) + k * 0.01).alias("temp_c"),
+        (((k * 31) % 200) / F.lit(10.0)).alias("wind_ms"),
+        (((k * 17) % 50) / F.lit(10.0)).alias("precip_mm"),
+    )
+
+
+def stations_sql() -> str:
+    lat = f"({ST_LAT0} + FLOOR((s_suppkey%{ST_SLOTS})/{ST_COLS})*{ST_DLAT} + ((s_suppkey*104729)%1000)/1000.0*0.01)"
+    return f"""
+      SELECT s_suppkey AS station_id,
+        {ST_LON0} + (s_suppkey%{ST_SLOTS})%{ST_COLS}*{ST_DLON} + ((s_suppkey*7919)%1000)/1000.0*0.01 AS st_lon,
+        {lat} AS st_lat,
+        15.0 + 10.0*SIN({lat}) + s_suppkey*0.01 AS temp_c,
+        ((s_suppkey*31)%200)/10.0 AS wind_ms,
+        ((s_suppkey*17)%50)/10.0 AS precip_mm
+      FROM supplier
+    """
+
+
+# ---------------------------------------------------------------------------
+# landcover (rect tiling; engine build side — oracle uses direct floor math)
+# ---------------------------------------------------------------------------
+
+def landcover_class_expr(gx: F.Column, gy: F.Column) -> F.Column:
+    """Class of rect (gx, gy) — shared by build side and tests."""
+    idx = ((gx * 7 + gy * 3) % 10).cast("int")
+    return F.element_at(F.array(*[F.lit(c) for c in LC_CLASSES]), idx + 1)
+
+
+def landcover_confidence_expr(gx: F.Column, gy: F.Column) -> F.Column:
+    return 0.5 + ((gx * 13 + gy * 29) % 50) / F.lit(100.0)
+
+
+def landcover_polygons(spark: SparkSession) -> DataFrame:
+    """Polygon build side: 43x29 half-open 0.1° rects tiling the NL box.
+
+    Columns: polygon_id, land_cover_class, confidence, xmin/ymin/xmax/ymax,
+    vertices (array<struct<x,y>> CCW — exercised by the winding refinement),
+    is_rect. Small table (1247 rows) → broadcast side of the PIP join.
+    """
+    g = (
+        spark.range(LC_NX * LC_NY)
+        .select(
+            (F.col("id") % LC_NX).alias("gx"),
+            F.floor(F.col("id") / LC_NX).alias("gy"),
+        )
+    )
+    xmin = F.lit(NL_LON0) + F.col("gx") * LC_CELL
+    ymin = F.lit(NL_LAT0) + F.col("gy") * LC_CELL
+    xmax, ymax = xmin + LC_CELL, ymin + LC_CELL
+    return g.select(
+        F.concat(F.lit("LC_"), F.format_string("%04d", (F.col("gx") * LC_NY + F.col("gy")).cast("int"))).alias("polygon_id"),
+        landcover_class_expr(F.col("gx"), F.col("gy")).alias("land_cover_class"),
+        landcover_confidence_expr(F.col("gx"), F.col("gy")).alias("confidence"),
+        xmin.alias("xmin"), ymin.alias("ymin"), xmax.alias("xmax"), ymax.alias("ymax"),
+        F.array(
+            F.struct(xmin.alias("x"), ymin.alias("y")),
+            F.struct(xmax.alias("x"), ymin.alias("y")),
+            F.struct(xmax.alias("x"), ymax.alias("y")),
+            F.struct(xmin.alias("x"), ymax.alias("y")),
+        ).alias("vertices"),
+        F.lit(True).alias("is_rect"),
+    )
+
+
+def landcover_lookup_sql(lon: str, lat: str) -> tuple[str, str]:
+    """(class_expr, confidence_expr) for a point — the oracle's direct
+    half-open rect lookup (NULL outside the NL box)."""
+    gx = f"FLOOR(({lon}-{NL_LON0})/{LC_CELL})"
+    gy = f"FLOOR(({lat}-{NL_LAT0})/{LC_CELL})"
+    in_box = (
+        f"({lon}) >= {NL_LON0} AND ({lon}) < {NL_LON0 + LC_NX * LC_CELL} "
+        f"AND ({lat}) >= {NL_LAT0} AND ({lat}) < {NL_LAT0 + LC_NY * LC_CELL}"
+    )
+    classes = ",".join(f"'{c}'" for c in LC_CLASSES)
+    cls = f"CASE WHEN {in_box} THEN [{classes}][CAST(({gx}*7+{gy}*3)%10 AS INT)+1] END"
+    conf = f"CASE WHEN {in_box} THEN 0.5 + (({gx}*13+{gy}*29)%50)/100.0 END"
+    return cls, conf
+
+
+# ---------------------------------------------------------------------------
+# elevation — analytic DEM (float32-quantized)
+# ---------------------------------------------------------------------------
+
+def dem_value_sql(cx: str, cy: str) -> str:
+    """float32-quantized analytic DEM value at grid center (cx, cy)."""
+    return f"CAST(CAST(100.0 + 50.0*SIN({cx}) + 30.0*COS({cy}) AS REAL) AS DOUBLE)"
+
+
+def elevation_bilinear_sql(lon: str, lat: str) -> str:
+    """Closed-form SQL reproducing the engine's bilinear DEM sample.
+
+    The engine decodes the float32 32x32 tile grid and samples bilinearly in
+    a pandas UDF (SURVEY.md J7); the DEM being analytic makes the identical
+    computation expressible in SQL: same tile/index/clamp/weight arithmetic,
+    same float32 quantization of the 4 corner samples, double elsewhere.
+    """
+    tx = f"FLOOR(({lon})/{DEM_TILE_DEG})"
+    ty = f"FLOOR(({lat})/{DEM_TILE_DEG})"
+    fx = f"((({lon}) - {tx}*{DEM_TILE_DEG})/{DEM_STEP} - 0.5)"
+    fy = f"((({lat}) - {ty}*{DEM_TILE_DEG})/{DEM_STEP} - 0.5)"
+    i0 = f"GREATEST(LEAST(FLOOR({fx}), {DEM_N - 2}), 0)"
+    j0 = f"GREATEST(LEAST(FLOOR({fy}), {DEM_N - 2}), 0)"
+    wx = f"GREATEST(LEAST({fx} - ({i0}), 1.0), 0.0)"
+    wy = f"GREATEST(LEAST({fy} - ({j0}), 1.0), 0.0)"
+    cx0 = f"({tx}*{DEM_TILE_DEG} + (({i0})+0.5)*{DEM_STEP})"
+    cx1 = f"({tx}*{DEM_TILE_DEG} + (({i0})+1.5)*{DEM_STEP})"
+    cy0 = f"({ty}*{DEM_TILE_DEG} + (({j0})+0.5)*{DEM_STEP})"
+    cy1 = f"({ty}*{DEM_TILE_DEG} + (({j0})+1.5)*{DEM_STEP})"
+    v00, v10 = dem_value_sql(cx0, cy0), dem_value_sql(cx1, cy0)
+    v01, v11 = dem_value_sql(cx0, cy1), dem_value_sql(cx1, cy1)
+    return (
+        f"((1.0-({wy}))*((1.0-({wx}))*{v00} + ({wx})*{v10})"
+        f" + ({wy})*((1.0-({wx}))*{v01} + ({wx})*{v11}))"
+    )

@@ -1,0 +1,170 @@
+"""Deterministic hierarchical quad-cell grid — the engine's spatial index.
+
+Replaces the reference's PostGIS ``GEOMETRY(POINT, 4326)`` + GIST index
+(reference: scripts/create-tables.sql:74-79,257) with int64 cell-id columns,
+the standard Spark pattern for spatial joins (equi-join on cell, then exact
+refinement). The ``h3`` PyPI package is not available in this container, so
+per SURVEY.md §7.0 we use a self-contained scheme whose semantics we control:
+
+- Resolution ``k`` splits lon [-180,180) into ``2**k`` columns and
+  lat [-90,90) into ``2**(k-1)`` rows — cells square in degrees.
+- ``cell = k*2**56 + ix*2**28 + iy`` (pure arithmetic: identical in Spark,
+  DuckDB, and numpy — this is what makes the grid oracle-checkable).
+- Aperture 4: parent(k) has ``ix>>1, iy>>1`` at ``k-1``.
+- k-ring: Chebyshev ring on the (ix, iy) lattice with lon wraparound and lat
+  clamp — the analogue of H3's ``k_ring`` used by the kNN weather join
+  (SURVEY.md J6).
+
+Named resolutions mirror the H3 levels in BASELINE.json ("H3 res 7-9"):
+RES7/RES8/RES9 = k 13/15/17 → cell width 0.044° / 0.011° / 0.0027°
+(≈ 3.0 / 0.76 / 0.19 km at 52°N) — comparable areas to H3 res 7/8/9.
+
+Everything here is either a Catalyst Column expression (JVM-side, codegen'd,
+no Python in the hot path) or numpy (fixture/test side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Bit layout: cell = k<<56 | ix<<28 | iy  (encoded via *,+ for SQL parity)
+_IX_SHIFT = 2**28
+_K_SHIFT = 2**56
+
+# H3-ish named resolutions (BASELINE.json "H3 res 7-9")
+RES7 = 13
+RES8 = 15
+RES9 = 17
+
+
+def cell_width_deg(k: int) -> float:
+    """Cell width (== height) in degrees at resolution k."""
+    return 360.0 / (2**k)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression encode / decode (pure built-ins → whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def cell_of(lon: Column, lat: Column, k: int) -> Column:
+    """Encode (lon, lat) → int64 cell id at resolution k. Null-safe."""
+    nx = 2**k
+    ny = 2 ** (k - 1)
+    ix = F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(nx - 1))
+    ix = F.greatest(ix, F.lit(0))
+    iy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(ny - 1))
+    iy = F.greatest(iy, F.lit(0))
+    return (F.lit(k) * F.lit(_K_SHIFT) + ix * F.lit(_IX_SHIFT) + iy).cast("long")
+
+
+def cell_res(cell: Column) -> Column:
+    return F.floor(cell / F.lit(_K_SHIFT)).cast("int")
+
+
+def cell_ix(cell: Column) -> Column:
+    return F.floor((cell % F.lit(_K_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
+
+
+def cell_iy(cell: Column) -> Column:
+    return (cell % F.lit(_IX_SHIFT)).cast("long")
+
+
+def cell_parent(cell: Column, parent_k: int, child_k: int) -> Column:
+    """Parent cell at coarser resolution (aperture-4 hierarchy walk)."""
+    if parent_k >= child_k:
+        raise ValueError("parent resolution must be coarser (smaller k)")
+    shift = 2 ** (child_k - parent_k)
+    ix = F.floor(cell_ix(cell) / F.lit(shift))
+    iy = F.floor(cell_iy(cell) / F.lit(shift))
+    return (F.lit(parent_k) * F.lit(_K_SHIFT) + ix * F.lit(_IX_SHIFT) + iy).cast("long")
+
+
+def cell_center(cell: Column, k: int) -> tuple[Column, Column]:
+    """(lon, lat) of cell center."""
+    w = cell_width_deg(k)
+    lon = F.lit(-180.0) + (cell_ix(cell).cast("double") + F.lit(0.5)) * F.lit(w)
+    lat = F.lit(-90.0) + (cell_iy(cell).cast("double") + F.lit(0.5)) * F.lit(w)
+    return lon, lat
+
+
+def kring_cells(cell: Column, k: int, radius: int) -> Column:
+    """Array column of all cells within Chebyshev ring ``radius`` of ``cell``.
+
+    Lon wraps (ix mod 2**k); lat clamps (rows outside [0, 2**(k-1)) dropped).
+    This is the engine's ``k_ring`` — build-side expansion for the kNN
+    weather-station join (SURVEY.md J6; reference schema
+    scripts/create-tables.sql:128-132). The offset list is a compile-time
+    constant array, so the whole expansion stays JVM-side.
+    """
+    nx = 2**k
+    ny = 2 ** (k - 1)
+    ix, iy = cell_ix(cell), cell_iy(cell)
+    neighbors = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            nix = (ix + F.lit(dx) + F.lit(nx)) % F.lit(nx)
+            niy = iy + F.lit(dy)
+            c = (F.lit(k) * F.lit(_K_SHIFT) + nix * F.lit(_IX_SHIFT) + niy).cast("long")
+            neighbors.append(F.when((niy >= 0) & (niy < ny), c))
+    return F.array_compact(F.array(*neighbors))
+
+
+# ---------------------------------------------------------------------------
+# SQL generator (DuckDB-oracle parity) — same arithmetic, ANSI SQL text
+# ---------------------------------------------------------------------------
+
+def cell_sql(lon_expr: str, lat_expr: str, k: int) -> str:
+    """ANSI-SQL text computing the identical cell id (for oracle_sql())."""
+    nx, ny = 2**k, 2 ** (k - 1)
+    # CAST each FLOOR to BIGINT *before* multiplying: DuckDB FLOOR yields
+    # DOUBLE, and cell ids exceed 2^53 (Spark's F.floor is already LONG).
+    ix = f"CAST(GREATEST(LEAST(FLOOR(({lon_expr}+180.0)/360.0*{nx}), {nx - 1}), 0) AS BIGINT)"
+    iy = f"CAST(GREATEST(LEAST(FLOOR(({lat_expr}+90.0)/180.0*{ny}), {ny - 1}), 0) AS BIGINT)"
+    return (
+        f"({k}*CAST({_K_SHIFT} AS BIGINT) + {ix}*{_IX_SHIFT} + {iy})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy side (fixtures, polygon covers, brute-force test oracles)
+# ---------------------------------------------------------------------------
+
+def cell_of_np(lon: np.ndarray, lat: np.ndarray, k: int) -> np.ndarray:
+    nx, ny = 2**k, 2 ** (k - 1)
+    ix = np.clip(np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * nx), 0, nx - 1)
+    iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * ny), 0, ny - 1)
+    return (
+        np.int64(k) * np.int64(_K_SHIFT)
+        + ix.astype(np.int64) * np.int64(_IX_SHIFT)
+        + iy.astype(np.int64)
+    )
+
+
+def cover_bbox_np(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, k: int
+) -> np.ndarray:
+    """All cells at res k whose bbox intersects [lon_min,lon_max)x[lat_min,lat_max).
+
+    Used to pre-cover land-cover polygons into the broadcastable
+    ``cells_rK`` array (SURVEY.md J5 build side). A bbox cover is a superset
+    of the exact polygon cover; the exact winding-number refinement step
+    removes false positives, so superset-ness is safe.
+    """
+    nx, ny = 2**k, 2 ** (k - 1)
+    w = cell_width_deg(k)
+    ix0 = int(np.clip(np.floor((lon_min + 180.0) / w), 0, nx - 1))
+    ix1 = int(np.clip(np.floor((lon_max + 180.0) / w - 1e-12), 0, nx - 1))
+    iy0 = int(np.clip(np.floor((lat_min + 90.0) / w), 0, ny - 1))
+    iy1 = int(np.clip(np.floor((lat_max + 90.0) / w - 1e-12), 0, ny - 1))
+    ixs, iys = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    return (
+        np.int64(k) * np.int64(_K_SHIFT)
+        + ixs.ravel() * np.int64(_IX_SHIFT)
+        + iys.ravel()
+    )

@@ -1,0 +1,615 @@
+"""Named engine queries + DuckDB oracle SQL — the correctness surface.
+
+Every SURVEY.md §2 operator appears here as a named query over the driver's
+parquet tables (region nation customer supplier part orders lineitem events
+documents embeddings). Each entry pairs:
+
+- a Spark builder ``(spark, sf_dir) -> DataFrame`` (the engine), and
+- an ANSI-SQL string for DuckDB (the oracle), or None for ops that aren't
+  SQL-expressible (pixel kernels, streaming) → driver rows-only check.
+
+Determinism rules (driver hashes values after sorting columns by name):
+- float outputs rounded identically on both sides (F.round / ROUND);
+- money sums via exact DECIMAL accumulation cast to DOUBLE at the end
+  (double-summation order differs between engines otherwise);
+- every computed column aliased identically on both sides;
+- ordering-sensitive ops (top-k, row_number) carry unique tie-breakers.
+
+Geo queries run over tables *derived* from driver parquet with arithmetic
+written twice (geotables.py) so DuckDB reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark import geotables, grid
+from tiff_enrichment_pipeline_spark.functions.geo import haversine_m, haversine_m_sql
+from tiff_enrichment_pipeline_spark.operators.elevation import elevation_join
+from tiff_enrichment_pipeline_spark.operators.knn_join import knn_station_join
+from tiff_enrichment_pipeline_spark.operators.pip_join import landcover_pip_join
+from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_IMAGES_CTE = f"WITH images AS ({geotables.images_geo_sql()})"
+_STATIONS_CTE = f"WITH stations AS ({geotables.stations_sql()})"
+
+
+# ===========================================================================
+# Geo / spatial operators (SURVEY.md J5-J8, W5, custom cell kernel)
+# ===========================================================================
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-index kernel: encode every image point at res 7/8/9 + parent
+    relation (grid.py; replaces PostGIS GIST, create-tables.sql:257)."""
+    img = geotables.images_geo(spark, sf_dir)
+    return img.select(
+        "image_id",
+        grid.cell_of(F.col("lon"), F.col("lat"), grid.RES7).alias("cell_r7"),
+        grid.cell_of(F.col("lon"), F.col("lat"), grid.RES8).alias("cell_r8"),
+        grid.cell_of(F.col("lon"), F.col("lat"), grid.RES9).alias("cell_r9"),
+        grid.cell_parent(
+            grid.cell_of(F.col("lon"), F.col("lat"), grid.RES9), grid.RES7, grid.RES9
+        ).alias("cell_r9_parent_r7"),
+    )
+
+
+def q_cell_encode_sql() -> str:
+    c7 = grid.cell_sql("lon", "lat", grid.RES7)
+    c8 = grid.cell_sql("lon", "lat", grid.RES8)
+    c9 = grid.cell_sql("lon", "lat", grid.RES9)
+    # parent via integer divide of ix/iy by 2^(17-13)=16 (BIGINT // stays exact)
+    ks = 2**56
+    ixs = 2**28
+    par = (
+        f"({grid.RES7}*CAST({ks} AS BIGINT)"
+        f" + (({c9}%{ks})//{ixs})//16*{ixs}"
+        f" + ({c9}%{ixs})//16)"
+    )
+    return f"""{_IMAGES_CTE}
+    SELECT image_id, {c7} AS cell_r7, {c8} AS cell_r8, {c9} AS cell_r9,
+           {par} AS cell_r9_parent_r7
+    FROM images"""
+
+
+def q_pip_landcover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: broadcast point-in-polygon land-cover join (J5;
+    create-tables.sql:135-139, esa_worldcover init-db.sql:61)."""
+    img = geotables.images_geo(spark, sf_dir)
+    lc = geotables.landcover_polygons(spark)
+    out = landcover_pip_join(img, lc, res=grid.RES8, how="left")
+    return out.select(
+        "image_id",
+        "polygon_id",
+        "land_cover_class",
+        F.round("land_cover_confidence", 6).alias("land_cover_confidence"),
+    )
+
+
+def q_pip_landcover_sql() -> str:
+    cls, conf = geotables.landcover_lookup_sql("lon", "lat")
+    gx = f"FLOOR((lon-{geotables.NL_LON0})/{geotables.LC_CELL})"
+    gy = f"FLOOR((lat-{geotables.NL_LAT0})/{geotables.LC_CELL})"
+    in_box = (
+        f"lon >= {geotables.NL_LON0} AND lon < {geotables.NL_LON0 + geotables.LC_NX * geotables.LC_CELL}"
+        f" AND lat >= {geotables.NL_LAT0} AND lat < {geotables.NL_LAT0 + geotables.LC_NY * geotables.LC_CELL}"
+    )
+    pid = (
+        f"CASE WHEN {in_box} THEN 'LC_' || lpad(CAST(CAST({gx}*{geotables.LC_NY}+{gy} AS BIGINT) AS VARCHAR),4,'0') END"
+    )
+    return f"""{_IMAGES_CTE}
+    SELECT image_id, {pid} AS polygon_id, {cls} AS land_cover_class,
+           ROUND({conf}, 6) AS land_cover_confidence
+    FROM images"""
+
+
+def q_knn_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN weather-station join, k=3 (J6/W5; create-tables.sql:128-132).
+    Exact by construction (ring candidates + certified fallback)."""
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "lon", "lat")
+    st = geotables.stations(spark, sf_dir)
+    out = knn_station_join(img, st, k=3)
+    return out.select(
+        "image_id",
+        F.col("rank").cast("int").alias("rank"),
+        "station_id",
+        F.round("temp_c", 4).alias("temp_c"),
+        F.round("wind_ms", 4).alias("wind_ms"),
+    )
+
+
+def q_knn_weather_sql() -> str:
+    d = haversine_m_sql("i.lat", "i.lon", "s.st_lat", "s.st_lon")
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    stations AS ({geotables.stations_sql()}),
+    ranked AS (
+      SELECT i.image_id, s.station_id, s.temp_c, s.wind_ms,
+             ROW_NUMBER() OVER (PARTITION BY i.image_id ORDER BY {d} ASC, s.station_id ASC) AS rank
+      FROM images i CROSS JOIN stations s
+    )
+    SELECT image_id, CAST(rank AS INT) AS rank, station_id,
+           ROUND(temp_c, 4) AS temp_c, ROUND(wind_ms, 4) AS wind_ms
+    FROM ranked WHERE rank <= 3"""
+
+
+def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector elevation tile join + bilinear sample (J7;
+    create-tables.sql:122-126). NULL off-DEM (outside NL box)."""
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "lon", "lat")
+    out = elevation_join(img, dem_tiles_df(spark))
+    return out.select(
+        "image_id",
+        F.round("elevation", 4).alias("elevation"),
+        "elevation_source",
+        "elevation_accuracy_m",
+    )
+
+
+def q_elevation_sql() -> str:
+    elev = geotables.elevation_bilinear_sql("lon", "lat")
+    t = geotables.DEM_TILE_DEG
+    in_box = "lon >= 3.0 AND lon < 7.3 AND lat >= 50.7 AND lat < 53.6"
+    src = (
+        f"CASE WHEN CAST(FLOOR(lon/{t}) + FLOOR(lat/{t}) AS BIGINT)%2 = 0 "
+        f"THEN 'usgs_3dep' ELSE 'nasa_srtm' END"
+    )
+    return f"""{_IMAGES_CTE}
+    SELECT image_id,
+           CASE WHEN {in_box} THEN ROUND({elev}, 4) END AS elevation,
+           CASE WHEN {in_box} THEN {src} END AS elevation_source,
+           CASE WHEN {in_box} THEN 1.0 END AS elevation_accuracy_m
+    FROM images"""
+
+
+def q_haversine_station_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join helper (J8/M6: ST_Distance → haversine column expr,
+    init-db.sql:157-170): pairwise distances of stations < 30 km."""
+    st = geotables.stations(spark, sf_dir)
+    a = st.select(
+        F.col("station_id").alias("sa"),
+        F.col("st_lon").alias("lon_a"), F.col("st_lat").alias("lat_a"),
+    )
+    b = st.select(
+        F.col("station_id").alias("sb"),
+        F.col("st_lon").alias("lon_b"), F.col("st_lat").alias("lat_b"),
+    )
+    d = haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("sa") < F.col("sb"))
+        .withColumn("dist_m", d)
+        .filter(F.col("dist_m") < 30000.0)
+        .select("sa", "sb", F.round((F.col("dist_m") / 1000.0), 2).alias("dist_km"))
+    )
+
+
+def q_haversine_station_pairs_sql() -> str:
+    d = haversine_m_sql("a.st_lat", "a.st_lon", "b.st_lat", "b.st_lon")
+    return f"""{_STATIONS_CTE}
+    SELECT a.station_id AS sa, b.station_id AS sb,
+           ROUND({d}/1000.0, 2) AS dist_km
+    FROM stations a CROSS JOIN stations b
+    WHERE a.station_id < b.station_id AND {d} < 30000.0"""
+
+
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL bounding-box predicate (P8, main.py:476-517) + GPS validity (P7)
+    — pushdown-friendly conjunctive ranges; counts by bucket."""
+    img = geotables.images_geo(spark, sf_dir)
+    bucket = (
+        F.when(
+            F.col("lon").between(3.0, 7.3) & F.col("lat").between(50.7, 53.6),
+            "netherlands",
+        )
+        .when(
+            F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0),
+            "world",
+        )
+        .otherwise("invalid")
+    )
+    return img.groupBy(bucket.alias("gps_bucket")).agg(
+        F.count("*").alias("n_images")
+    )
+
+
+def q_bbox_filter_sql() -> str:
+    return f"""{_IMAGES_CTE}
+    SELECT CASE
+             WHEN lon BETWEEN 3.0 AND 7.3 AND lat BETWEEN 50.7 AND 53.6 THEN 'netherlands'
+             WHEN lat BETWEEN -90.0 AND 90.0 AND lon BETWEEN -180.0 AND 180.0 THEN 'world'
+             ELSE 'invalid' END AS gps_bucket,
+           COUNT(*) AS n_images
+    FROM images GROUP BY 1"""
+
+
+# ===========================================================================
+# Projections / predicates over driver tables (P1-P6, M12-M15)
+# ===========================================================================
+
+def q_filename_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MicaSense filename predicate + capture/band projection + file-type
+    buckets (P1-P4, main.py:50-121) over filenames derived from part."""
+    p = _t(spark, sf_dir, "part")
+    fname = F.concat(
+        F.lit("IMG_"),
+        F.format_string("%04d", (F.col("p_partkey") % 10000).cast("int")),
+        F.lit("_"),
+        ((F.col("p_partkey") % 7) + 1).cast("string"),
+        F.when(F.col("p_partkey") % 3 == 0, ".tif")
+        .when(F.col("p_partkey") % 3 == 1, ".TIF")
+        .otherwise(".jpg"),
+    )
+    df = p.select(F.col("p_partkey").alias("partkey"), fname.alias("filename"))
+    is_mica = F.col("filename").rlike(r"^IMG_\d{4}_[1-5]\.(tif|TIF|tiff|TIFF)$")
+    return df.select(
+        "partkey",
+        "filename",
+        F.when(is_mica, F.regexp_extract("filename", r"^(IMG_\d{4})_", 1)).alias(
+            "capture_id"
+        ),
+        F.when(
+            is_mica, F.regexp_extract("filename", r"_(\d)\.", 1).cast("int")
+        ).alias("band"),
+        F.when(is_mica, "micasense")
+        .when(F.col("filename").rlike(r"\.(tif|TIF|tiff|TIFF)$"), "regular_tiff")
+        .otherwise("other")
+        .alias("file_type"),
+    )
+
+
+def q_filename_classify_sql() -> str:
+    fname = (
+        "'IMG_' || lpad(CAST(p_partkey%10000 AS VARCHAR),4,'0') || '_' || "
+        "CAST(p_partkey%7+1 AS VARCHAR) || "
+        "CASE WHEN p_partkey%3=0 THEN '.tif' WHEN p_partkey%3=1 THEN '.TIF' ELSE '.jpg' END"
+    )
+    return f"""WITH f AS (SELECT p_partkey AS partkey, {fname} AS filename FROM part),
+    c AS (SELECT partkey, filename,
+          regexp_matches(filename, '^IMG_[0-9]{{4}}_[1-5]\\.(tif|TIF|tiff|TIFF)$') AS is_mica
+          FROM f)
+    SELECT partkey, filename,
+           CASE WHEN is_mica THEN regexp_extract(filename, '^(IMG_[0-9]{{4}})_', 1) END AS capture_id,
+           CASE WHEN is_mica THEN CAST(regexp_extract(filename, '_([0-9])\\.', 1) AS INT) END AS band,
+           CASE WHEN is_mica THEN 'micasense'
+                WHEN regexp_matches(filename, '\\.(tif|TIF|tiff|TIFF)$') THEN 'regular_tiff'
+                ELSE 'other' END AS file_type
+    FROM c"""
+
+
+def q_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS→decimal GPS parse (P5, gps_utils.py:7-42) over DMS strings
+    constructed from supplier keys; oracle computes the value arithmetically."""
+    from tiff_enrichment_pipeline_spark.functions.gps import parse_dms
+
+    s = _t(spark, sf_dir, "supplier")
+    deg = (F.col("s_suppkey") % 90).cast("int")
+    mins = (F.col("s_suppkey") * 7 % 60).cast("int")
+    secs = ((F.col("s_suppkey") * 13 % 6000).cast("double") / 100.0)
+    hemi = F.when(F.col("s_suppkey") % 2 == 0, "N").otherwise("S")
+    dms = F.concat(
+        deg.cast("string"), F.lit(" deg "), mins.cast("string"), F.lit("' "),
+        F.format_number(secs, 2), F.lit('" '), hemi,
+    )
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        dms.alias("dms_str"),
+        F.round(parse_dms(dms), 8).alias("decimal_deg"),
+    )
+
+
+def q_dms_parse_sql() -> str:
+    deg = "CAST(s_suppkey%90 AS INT)"
+    mins = "CAST(s_suppkey*7%60 AS INT)"
+    secs = "ROUND(CAST(s_suppkey*13%6000 AS DOUBLE)/100.0, 2)"
+    sign = "CASE WHEN s_suppkey%2=0 THEN 1.0 ELSE -1.0 END"
+    hemi = "CASE WHEN s_suppkey%2=0 THEN 'N' ELSE 'S' END"
+    dms = (
+        f"CAST({deg} AS VARCHAR) || ' deg ' || CAST({mins} AS VARCHAR) || ''' ' || "
+        f"format('{{:.2f}}', {secs}) || '\" ' || {hemi}"
+    )
+    return f"""SELECT s_suppkey AS suppkey, {dms} AS dms_str,
+           ROUND({sign}*({deg} + {mins}/60.0 + {secs}/3600.0), 8) AS decimal_deg
+    FROM supplier"""
+
+
+# ===========================================================================
+# Joins & aggregations over driver tables (J1-J4, A1-A12, W1-W4, U1, L1)
+# ===========================================================================
+
+def q_capture_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-set assembly / complete-set routing (J1, main.py:268-292):
+    lineitem as (capture=orderkey, band=linenumber≤5); complete = all 5."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 5)
+    return (
+        li.groupBy(F.col("l_orderkey").alias("capture"))
+        .agg(
+            F.countDistinct("l_linenumber").alias("n_bands"),
+            F.array_sort(F.collect_set("l_linenumber")).alias("bands"),
+        )
+        .withColumn("complete", F.col("n_bands") == 5)
+        .withColumn(
+            "missing_bands",
+            F.array_except(F.array(*[F.lit(i) for i in range(1, 6)]), F.col("bands")),
+        )
+        .drop("bands")
+    )
+
+
+def q_capture_assembly_sql() -> str:
+    return """WITH b AS (
+      SELECT l_orderkey AS capture, l_linenumber AS band
+      FROM lineitem WHERE l_linenumber <= 5
+    )
+    SELECT capture,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
+           COUNT(DISTINCT band) = 5 AS complete,
+           list_filter([1,2,3,4,5], x -> NOT list_contains(list(DISTINCT band), x)) AS missing_bands
+    FROM b GROUP BY capture"""
+
+
+def q_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-summary left joins + conditional counts (J2/A5/A6,
+    create-tables.sql:299-330): orders⟕customer⟕nation rollup by nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(n, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            ).alias("total_price"),
+        )
+    )
+
+
+def q_status_summary_sql() -> str:
+    return """SELECT n_name AS nation,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_finished,
+           COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders LEFT JOIN customer ON o_custkey=c_custkey
+                LEFT JOIN nation ON c_nationkey=n_nationkey
+    GROUP BY n_name"""
+
+
+def q_hourly_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket aggregation with FILTER-style conditional counts
+    (A6/A7, create-tables.sql:321-334) over events."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.count(F.when(F.col("value") > 100.0, 1)).alias("n_big"),
+        )
+    )
+
+
+def q_hourly_api_stats_sql() -> str:
+    return """SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS avg_value,
+           COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big
+    FROM events GROUP BY 1, 2"""
+
+
+def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily processing stats (A8, create-tables.sql:337-350): per-day
+    per-priority counts + sums over orders (30-day-window analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .filter(F.col("o_orderdate") < F.lit("1995-07-01"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def q_daily_stats_sql() -> str:
+    return """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+    GROUP BY 1, 2"""
+
+
+def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-N top-k (W1/W2/L1, README.md:334 ORDER BY ts DESC LIMIT 10)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+        .select("event_id", "ts", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+def q_topk_recent_sql() -> str:
+    return """SELECT event_id, ts, event_type, ROUND(value, 2) AS value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"""
+
+
+def q_user_session_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (W4/W5, processor.py:627-639 first-5 grouping):
+    first 3 events per user by time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", F.col("rn").cast("int").alias("rn"), "event_id", "event_type")
+    )
+
+
+def q_user_session_rank_sql() -> str:
+    return """SELECT user_id, CAST(rn AS INT) AS rn, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) WHERE rn <= 3"""
+
+
+def q_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-checksum (P11/M11, create-tables.sql:19,253): md5 of doc
+    text; keep min doc_id per digest (deterministic survivor)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_dedup_checksum_sql() -> str:
+    return """SELECT md5(text) AS digest, MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSONB access (M16, create-tables.sql:49,129):
+    extract props.k from events, aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("k")).alias("k_sum"))
+    )
+
+
+def q_json_extract_sql() -> str:
+    return """SELECT CAST(props->>'$.k' AS INT)%10 AS k_mod, COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1"""
+
+
+def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated/derived columns (M13-M15, create-tables.sql:32-38,209-211):
+    deterministic surrogate key, epoch duration, is_successful."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.sha2(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type")), 256).alias("surrogate_key"),
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01 00:00:00")))).alias("epoch_offset_s"),
+        (F.col("value").between(200.0, 299.0)).alias("is_successful"),
+    )
+
+
+def q_generated_columns_sql() -> str:
+    return """SELECT event_id,
+           sha256(CAST(event_id AS VARCHAR) || ':' || event_type) AS surrogate_key,
+           CAST(FLOOR(epoch(ts)) - epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) AS epoch_offset_s,
+           value BETWEEN 200.0 AND 299.0 AS is_successful
+    FROM events"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles p25/p50/p75 (A3, rasterio_utils.py:283-292) — exact
+    interpolated percentile per event_type (matches quantile_cont)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+def q_percentiles_sql() -> str:
+    return """SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type"""
+
+
+def q_union_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of scan lists (U1, main.py:66-67) + distinct: error ∪ purchase
+    events with a shared projection."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+def q_union_glob_sql() -> str:
+    return """SELECT event_id, user_id FROM events WHERE event_type='error'
+    UNION
+    SELECT event_id, user_id FROM events WHERE event_type='purchase'"""
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cell_encode": q_cell_encode,
+    "pip_landcover": q_pip_landcover,
+    "knn_weather": q_knn_weather,
+    "elevation": q_elevation,
+    "haversine_pairs": q_haversine_station_pairs,
+    "bbox_filter": q_bbox_filter,
+    "filename_classify": q_filename_classify,
+    "dms_parse": q_dms_parse,
+    "capture_assembly": q_capture_assembly,
+    "status_summary": q_status_summary,
+    "hourly_api_stats": q_hourly_api_stats,
+    "daily_stats": q_daily_stats,
+    "topk_recent": q_topk_recent,
+    "user_session_rank": q_user_session_rank,
+    "dedup_checksum": q_dedup_checksum,
+    "json_extract": q_json_extract,
+    "generated_columns": q_generated_columns,
+    "percentiles": q_percentiles,
+    "union_glob": q_union_glob,
+}
+
+ORACLES: dict[str, str] = {
+    "cell_encode": q_cell_encode_sql(),
+    "pip_landcover": q_pip_landcover_sql(),
+    "knn_weather": q_knn_weather_sql(),
+    "elevation": q_elevation_sql(),
+    "haversine_pairs": q_haversine_station_pairs_sql(),
+    "bbox_filter": q_bbox_filter_sql(),
+    "filename_classify": q_filename_classify_sql(),
+    "dms_parse": q_dms_parse_sql(),
+    "capture_assembly": q_capture_assembly_sql(),
+    "status_summary": q_status_summary_sql(),
+    "hourly_api_stats": q_hourly_api_stats_sql(),
+    "daily_stats": q_daily_stats_sql(),
+    "topk_recent": q_topk_recent_sql(),
+    "user_session_rank": q_user_session_rank_sql(),
+    "dedup_checksum": q_dedup_checksum_sql(),
+    "json_extract": q_json_extract_sql(),
+    "generated_columns": q_generated_columns_sql(),
+    "percentiles": q_percentiles_sql(),
+    "union_glob": q_union_glob_sql(),
+}
