@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies per the training-data-pipeline brief:
+
+- **Brute-force cosine top-k** (the exactness baseline): Arrow-batched GEMM
+  — normalize the corpus once (driver-side for a broadcastable corpus),
+  ``P @ C.T`` per batch, ``argpartition`` top-k. Exact, a pure map stage
+  over the query side.
+- **LSH-bucketed variant** (the scale path): sign-random-projection buckets
+  (B hyperplanes → B-bit key); queries probe their own bucket (+optionally
+  neighbors by Hamming distance 1). Approximate; recall grows with fewer
+  bits / more probes. Bucketing is an equi-join on uniformly distributed
+  keys — shuffle-friendly, no skew.
+
+The corpus here is the driver's ``embeddings`` table; at 100 TB the corpus
+side would be IVF-sharded (cell = coarse centroid id) with the same probe
+pattern — bucket id plays the role the quad-cell id plays for the
+geospatial joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def _corpus_matrix(corpus: DataFrame, id_col: str, vec_col: str):
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, M / norms[:, None]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """query rows + (rank, neighbor_id, cosine) — exact cosine top-k.
+
+    Output columns: all query columns, rank int, neighbor_id long,
+    cosine double.
+    """
+    ids, C = _corpus_matrix(corpus, id_col, vec_col)
+    sc = queries.sparkSession.sparkContext
+    bc_ids, bc_C = sc.broadcast(ids), sc.broadcast(C)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _topk(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        Cm, cid = bc_C.value, bc_ids.value
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        Q = Q / qn[:, None]
+        sims = Q @ Cm.T  # (B, S)
+        if exclude_self:
+            qid_np = qid.to_numpy(np.int64)
+            mask = cid[None, :] == qid_np[:, None]
+            sims = np.where(mask, -np.inf, sims)
+        kk = min(k, sims.shape[1] - (1 if exclude_self else 0))
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        # exact ordering: descending cosine, ascending id tie-break
+        order = np.lexsort(
+            (cid[part], -ps), axis=1
+        )
+        idx = np.take_along_axis(part, order, axis=1)
+        ps = np.take_along_axis(ps, order, axis=1)
+        flat = np.empty((idx.shape[0], 2 * kk), dtype=np.float64)
+        flat[:, 0::2] = cid[idx]
+        flat[:, 1::2] = ps
+        return pd.Series(list(flat))
+
+    out = queries.withColumn("_nn", _topk(F.col(id_col), F.col(vec_col)))
+    ranks = F.explode(
+        F.sequence(F.lit(1), (F.size("_nn") / F.lit(2)).cast("int"))
+    )
+    return (
+        out.select(*queries.columns, F.col("_nn"), ranks.alias("rank"))
+        .select(
+            *queries.columns,
+            F.col("rank").cast("int").alias("rank"),
+            F.element_at(F.col("_nn"), F.col("rank") * 2 - 1)
+            .cast("long")
+            .alias("neighbor_id"),
+            F.element_at(F.col("_nn"), F.col("rank") * 2).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection) bucketing — the scale path
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def srp_bucket_df(
+    vectors: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """vectors + ``bucket`` (int, B-bit sign-random-projection key)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    H = _hyperplanes(dim, bits)
+    sc = vectors.sparkSession.sparkContext
+    bc_H = sc.broadcast(H)
+
+    @F.pandas_udf("long")
+    def _bucket(vec: pd.Series) -> pd.Series:
+        Hm = bc_H.value
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (V @ Hm.T) > 0  # (B, bits)
+        weights = (2 ** np.arange(Hm.shape[0])).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return vectors.withColumn("bucket", _bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket equi-join then exact cosine rank within
+    bucket. Output: query id, rank, neighbor_id, cosine."""
+    from pyspark.sql import Window
+
+    qb = srp_bucket_df(queries, bits, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    cb = srp_bucket_df(corpus, bits, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        qb.join(cb, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", dot / (norm_q * norm_c))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("cid").alias("neighbor_id"),
+            "cosine",
+        )
+    )

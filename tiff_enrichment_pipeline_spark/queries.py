@@ -613,3 +613,247 @@ ORACLES: dict[str, str] = {
     "percentiles": q_percentiles_sql(),
     "union_glob": q_union_glob_sql(),
 }
+
+
+# ===========================================================================
+# Training-data pipeline suite: dedup / similarity / text analysis
+# (SURVEY.md P11 + the large-scale-pipeline operators from the build brief)
+# ===========================================================================
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over 3-word shingles) per document."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import minhash_signature_df
+
+    return minhash_signature_df(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.dedup import minhash_sigs_sql
+
+    sigs = minhash_sigs_sql("text")
+    cols = ", ".join(f"{s} AS sig{j}" for j, s in enumerate(sigs))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 bands × 2 rows)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        MINHASH_P, N_BANDS, minhash_sigs_sql,
+    )
+
+    sigs = minhash_sigs_sql("text")
+    cols = ", ".join(f"{s} AS sig{j}" for j, s in enumerate(sigs))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, sig{2*b}*{MINHASH_P}+sig{2*b+1} AS band_key "
+        f"FROM sig WHERE sig{2*b} IS NOT NULL"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH sig AS (SELECT doc_id, {cols} FROM documents),
+    bt AS ({bands})
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bt a JOIN bt b ON a.band=b.band AND a.band_key=b.band_key
+    WHERE a.doc < b.doc"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (explode + conditional bit sums)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import simhash_df
+
+    return simhash_df(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.dedup import simhash_sql
+
+    return simhash_sql()
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-set Jaccard similarity for doc pairs (ids < 100)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), max_id=100)
+
+
+def q_jaccard_pairs_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import tokens_sql
+
+    t = tokens_sql("text")
+    return f"""WITH d AS (
+      SELECT doc_id AS doc, list_distinct({t}) AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc < b.doc"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID + agreement with the labeled lang."""
+    from tiff_enrichment_pipeline_spark.functions.text import predicted_lang
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted_lang(F.col("text")).alias("pred_lang"),
+        (predicted_lang(F.col("text")) == F.col("lang")).alias("agree"),
+    )
+
+
+def q_langid_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import predicted_lang_sql
+
+    p = predicted_lang_sql("text")
+    return f"""SELECT doc_id, lang, {p} AS pred_lang, ({p}) = lang AS agree
+    FROM documents"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/punct/stopword heuristics)."""
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        fingerprint, quality_score, token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_quality_score_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        fingerprint_sql, quality_score_sql, token_count_sql,
+    )
+
+    return f"""SELECT doc_id,
+           {token_count_sql('text')} AS n_tokens,
+           ROUND({quality_score_sql('text', 'n_chars')}, 6) AS quality,
+           {fingerprint_sql('text')} AS fp
+    FROM documents"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (ids < 10)."""
+    from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(q, emb, k=5)
+    return out.select(
+        "vec_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_topk_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    nq = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    nc = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(c.embedding)), "
+        "i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    return f"""WITH ranked AS (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+             {dot}/({nq}*{nc}) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {dot}/({nq}*{nc}) DESC, c.vec_id ASC) AS rank
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (ids < 200, cosine > 0.3)."""
+    from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out = brute_force_topk(emb, emb, k=200)
+    return (
+        out.filter((F.col("cosine") > 0.3) & (F.col("vec_id") < F.col("neighbor_id")))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def q_embedding_neardup_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    na = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    nb = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(b.embedding)), "
+        "i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({dot}/({na}*{nb}), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND {dot}/({na}*{nb}) > 0.3"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (sign random projection) — approximate; rows-only
+    driver check (hyperplane sampling is not SQL-expressible)."""
+    from tiff_enrichment_pipeline_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(q, emb, k=5, bits=6)
+
+
+_EXTRA_QUERIES = {
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "langid": q_langid,
+    "quality_score": q_quality_score,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann": q_lsh_ann,
+}
+_EXTRA_ORACLES = {
+    "minhash_signatures": q_minhash_signatures_sql(),
+    "lsh_pairs": q_lsh_pairs_sql(),
+    "simhash": q_simhash_sql(),
+    "jaccard_pairs": q_jaccard_pairs_sql(),
+    "langid": q_langid_sql(),
+    "quality_score": q_quality_score_sql(),
+    "ann_topk": q_ann_topk_sql(),
+    "embedding_neardup": q_embedding_neardup_sql(),
+    # lsh_ann: intentionally no oracle (approximate, RNG hyperplanes)
+}
+QUERIES.update(_EXTRA_QUERIES)
+ORACLES.update(_EXTRA_ORACLES)
