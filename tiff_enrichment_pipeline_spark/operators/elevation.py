@@ -56,29 +56,6 @@ def bilinear_sample_np(
     )
 
 
-@F.pandas_udf(DoubleType())
-def _bilinear_udf(
-    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
-) -> Iterator[pd.Series]:
-    for grid_bytes, lon, lat, tx, ty in it:
-        out = np.full(len(lon), np.nan)
-        cache: dict[int, np.ndarray] = {}
-        for i in range(len(lon)):
-            b = grid_bytes.iloc[i]
-            if b is None or pd.isna(lon.iloc[i]):
-                continue
-            key = id(b)
-            g = cache.get(key)
-            if g is None:
-                g = np.frombuffer(b, dtype="<f4").reshape(DEM_N, DEM_N)
-                cache[key] = g
-            out[i] = bilinear_sample_np(
-                g, float(lon.iloc[i]), float(lat.iloc[i]),
-                int(tx.iloc[i]), int(ty.iloc[i]),
-            )
-        yield pd.Series(out)
-
-
 def tile_key(lon, lat):
     tx = F.floor(lon / F.lit(DEM_TILE_DEG)).cast("int")
     ty = F.floor(lat / F.lit(DEM_TILE_DEG)).cast("int")
@@ -97,20 +74,80 @@ def elevation_join(
 
     ``dem_tiles``: tile_x:int, tile_y:int, grid:binary (N*N float32 LE),
     accuracy_m:double, source:string.
+
+    The grid payloads ship to Python ONCE via a Spark broadcast variable
+    (not per-row through the join → Arrow — that costs |images|·4 KiB of
+    serialization); the UDF input is just (lon, lat, tx, ty). The tile
+    *metadata* (source, accuracy — no grid) still attaches via a broadcast
+    equi-join so Catalyst sees normal relational lineage. For a DEM too
+    large to broadcast, pre-partition both sides by tile key and use a
+    per-tile ``applyInPandas`` instead (grid crosses once per tile-group).
     """
+    if not broadcast_dem:
+        raise NotImplementedError(
+            "partitioned-DEM strategy not wired yet; broadcast covers any "
+            "regional DEM (NL at 0.1° = 1247 tiles ≈ 5 MiB)"
+        )
+    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
+    grids = {
+        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
+        .reshape(DEM_N, DEM_N)
+        .astype(np.float64)
+        for r in tile_rows
+    }
+    bc = images.sparkSession.sparkContext.broadcast(grids)
+
+    @F.pandas_udf(DoubleType())
+    def _sample(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        g_by_tile = bc.value
+        for lon_s, lat_s, tx_s, ty_s in it:
+            lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
+            lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
+            out = np.full(len(lon_v), np.nan)
+            valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
+            if valid.any():
+                tx_v = np.where(valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
+                ty_v = np.where(valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
+                key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
+                order = np.argsort(key, kind="stable")
+                sk = key[order]
+                starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+                bounds = np.r_[starts, len(sk)]
+                for gi in range(len(starts)):
+                    if sk[starts[gi]] == -(2**62):
+                        continue
+                    rows = order[bounds[gi]:bounds[gi + 1]]
+                    tile = (int(tx_v[rows[0]]), int(ty_v[rows[0]]))
+                    g = g_by_tile.get(tile)
+                    if g is None:
+                        continue
+                    fx = (lon_v[rows] - tile[0] * DEM_TILE_DEG) / DEM_STEP - 0.5
+                    fy = (lat_v[rows] - tile[1] * DEM_TILE_DEG) / DEM_STEP - 0.5
+                    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
+                    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
+                    wx = np.clip(fx - i0, 0.0, 1.0)
+                    wy = np.clip(fy - j0, 0.0, 1.0)
+                    v00, v10 = g[j0, i0], g[j0, i0 + 1]
+                    v01, v11 = g[j0 + 1, i0], g[j0 + 1, i0 + 1]
+                    out[rows] = (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) + wy * (
+                        (1.0 - wx) * v01 + wx * v11
+                    )
+            yield pd.Series(out)
+
     tx, ty = tile_key(F.col(lon), F.col(lat))
     probe = images.withColumn("tile_x", tx).withColumn("tile_y", ty)
-    dem = F.broadcast(dem_tiles) if broadcast_dem else dem_tiles
-    joined = probe.join(dem, ["tile_x", "tile_y"], "left")
-    return (
-        joined.withColumn(
-            "elevation",
-            _bilinear_udf(
-                F.col("grid"), F.col(lon), F.col(lat),
-                F.col("tile_x"), F.col("tile_y"),
-            ),
-        )
-        .withColumn("elevation_source", F.col("source"))
-        .withColumn("elevation_accuracy_m", F.col("accuracy_m"))
-        .drop("grid", "source", "accuracy_m")
+    meta = dem_tiles.select(
+        "tile_x", "tile_y",
+        F.col("source").alias("elevation_source"),
+        F.col("accuracy_m").alias("elevation_accuracy_m"),
+    )
+    joined = probe.join(F.broadcast(meta), ["tile_x", "tile_y"], "left")
+    return joined.withColumn(
+        "elevation",
+        F.when(
+            F.col("elevation_source").isNotNull(),
+            _sample(F.col(lon), F.col(lat), F.col("tile_x"), F.col("tile_y")),
+        ),
     )

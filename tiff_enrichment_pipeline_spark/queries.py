@@ -857,3 +857,207 @@ _EXTRA_ORACLES = {
 }
 QUERIES.update(_EXTRA_QUERIES)
 ORACLES.update(_EXTRA_ORACLES)
+
+
+# ===========================================================================
+# Batch 3: georeferencing math, stats, windows, rollup, parsing, JSON
+# ===========================================================================
+
+def q_georef_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSD / meters-per-degree / pixel-size / affine-transform / validity
+    (M1-M5, P9; reference core/processor.py:98-133,643-656) as columns."""
+    from tiff_enrichment_pipeline_spark.functions.geo import (
+        affine_from_center, georef_valid, pixel_size_deg,
+    )
+
+    img = geotables.images_geo(spark, sf_dir)
+    w, h = F.lit(1280), F.lit(960)
+    px, py = pixel_size_deg(F.col("alt"), F.col("lat"))
+    t = affine_from_center(F.col("lon"), F.col("lat"), w, h, px, py)
+    return img.select(
+        "image_id",
+        F.round(px, 12).alias("px_deg"),
+        F.round(py, 12).alias("py_deg"),
+        F.round(t["c"], 9).alias("west"),
+        F.round(t["f"], 9).alias("north"),
+        georef_valid(F.lit("EPSG:4326"), t).alias("georef_ok"),
+    )
+
+
+def q_georef_transform_sql() -> str:
+    # identical math: gsd = sensor_mm*alt/(focal_mm*px); m/deg lat = 2πR/360
+    m_lat = "(2.0*PI()*6371000.0/360.0)"
+    m_lon = f"({m_lat}*COS(RADIANS(lat)))"
+    px = f"((4.8*alt/(5.4*1280))/{m_lon})"
+    py = f"((3.6*alt/(5.4*960))/{m_lat})"
+    return f"""{_IMAGES_CTE}
+    SELECT image_id,
+           ROUND({px}, 12) AS px_deg,
+           ROUND({py}, 12) AS py_deg,
+           ROUND(lon - 1280/2*{px}, 9) AS west,
+           ROUND(lat + 960/2*{py}, 9) AS north,
+           (ABS({px}) < 0.01 AND ABS(-{py}) < 0.01
+            AND ABS({px}) > 0 AND ABS(-{py}) > 0) AS georef_ok
+    FROM images"""
+
+
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group stats: min/max/avg/stddev_pop + zero-ratio + distinct
+    (A1/A4/A11; reference output/metadata.py:79-106, core/validation.py:
+    194-196,250-264) over lineitem groups — TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+            (F.sum(qty_dec).cast("double") / F.count("l_quantity")).alias("qty_avg"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("qty_std"),
+            F.round(
+                F.avg(F.when(F.col("l_discount") == 0.0, 1.0).otherwise(0.0)), 6
+            ).alias("zero_discount_ratio"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def q_group_stats_sql() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           MIN(l_quantity) AS qty_min,
+           MAX(l_quantity) AS qty_max,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS qty_avg,
+           ROUND(stddev_pop(l_quantity), 4) AS qty_std,
+           ROUND(AVG(CASE WHEN l_discount = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS zero_discount_ratio,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_first_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-element-of-sorted-group (W3, processor.py:325
+    sorted band iteration): the lowest-linenumber part per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # composite-encoded min → deterministic under duplicate linenumbers
+    enc = F.col("l_linenumber").cast("long") * 1000000 + F.col("l_partkey")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.min("l_linenumber").alias("first_line"),
+        (F.min(enc) % 1000000).alias("first_partkey"),
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_order"),
+    )
+
+
+def q_first_line_per_order_sql() -> str:
+    return """SELECT l_orderkey AS orderkey,
+           MIN(l_linenumber) AS first_line,
+           MIN(CAST(l_linenumber AS BIGINT)*1000000 + l_partkey) % 1000000 AS first_partkey,
+           list_sort(list(l_linenumber)) AS line_order
+    FROM lineitem GROUP BY l_orderkey"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via bucket groupBy (R12, processor.py:579-598 — 256-bin
+    pixel histogram re-expressed relationally): 50-unit value buckets."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def q_value_histogram_sql() -> str:
+    return """SELECT CAST(FLOOR(value/50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1"""
+
+
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup superset of the reference's separate daily/hourly views
+    (SURVEY.md §2.6 note): counts by (status, priority) with subtotals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def q_rollup_status_sql() -> str:
+    return """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+
+def q_exif_altitude_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF timestamp + altitude-string parsing (M12/P6,
+    gps_utils.py:73-86) over strings built from supplier rows."""
+    from tiff_enrichment_pipeline_spark.functions.gps import (
+        parse_altitude, parse_exif_timestamp,
+    )
+
+    s = _t(spark, sf_dir, "supplier")
+    alt_m = (F.col("s_suppkey") * 7 % 3000).cast("double") / 10.0
+    alt_str = F.concat(F.format_number(alt_m, 1), F.lit(" m Above Sea Level"))
+    day = (F.col("s_suppkey") % 28 + 1).cast("int")
+    exif_ts = F.concat(
+        F.lit("2024:03:"), F.lpad(day.cast("string"), 2, "0"), F.lit(" 10:15:30")
+    )
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        alt_str.alias("alt_str"),
+        F.round(parse_altitude(alt_str), 4).alias("alt_parsed"),
+        exif_ts.alias("exif_ts"),
+        parse_exif_timestamp(exif_ts).alias("captured_at"),
+    )
+
+
+def q_exif_altitude_parse_sql() -> str:
+    alt_m = "(CAST(s_suppkey*7%3000 AS DOUBLE)/10.0)"
+    alt_str = f"format('{{:.1f}}', {alt_m}) || ' m Above Sea Level'"
+    exif = "'2024:03:' || lpad(CAST(s_suppkey%28+1 AS VARCHAR), 2, '0') || ' 10:15:30'"
+    return f"""SELECT s_suppkey AS suppkey,
+           {alt_str} AS alt_str,
+           ROUND(CAST(regexp_extract({alt_str}, '[-+]?[0-9]*\\.?[0-9]+', 0) AS DOUBLE), 4) AS alt_parsed,
+           {exif} AS exif_ts,
+           strptime({exif}, '%Y:%m:%d %H:%M:%S') AS captured_at
+    FROM supplier"""
+
+
+def q_to_json_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON row serialization (M16, init-db.sql:80-139 row_to_json audit):
+    compact JSON of (id, type) per event."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("row_json"),
+    )
+
+
+def q_to_json_row_sql() -> str:
+    return """SELECT event_id,
+           CAST(to_json(struct_pack(id := event_id, type := event_type)) AS VARCHAR) AS row_json
+    FROM events"""
+
+
+_B3_QUERIES = {
+    "georef_transform": q_georef_transform,
+    "group_stats": q_group_stats,
+    "first_line_per_order": q_first_line_per_order,
+    "value_histogram": q_value_histogram,
+    "rollup_status": q_rollup_status,
+    "exif_altitude_parse": q_exif_altitude_parse,
+    "to_json_row": q_to_json_row,
+}
+_B3_ORACLES = {
+    "georef_transform": q_georef_transform_sql(),
+    "group_stats": q_group_stats_sql(),
+    "first_line_per_order": q_first_line_per_order_sql(),
+    "value_histogram": q_value_histogram_sql(),
+    "rollup_status": q_rollup_status_sql(),
+    "exif_altitude_parse": q_exif_altitude_parse_sql(),
+    "to_json_row": q_to_json_row_sql(),
+}
+QUERIES.update(_B3_QUERIES)
+ORACLES.update(_B3_ORACLES)
