@@ -26,6 +26,11 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# one BLAS thread per Python worker: N workers × M BLAS threads thrashes
+# (workers inherit the driver env in local mode)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _noop_write(df) -> int:
     df.write.format("noop").mode("overwrite").save()
@@ -92,47 +97,131 @@ def run_default() -> None:
     spark.stop()
 
 
+def _scaled_flagship(spark, sf_dir: str, mult: int):
+    """Flagship DAG over the probe replicated ×mult (distinct image ids) —
+    the scaling run needs enough work per core that fixed overhead (Python
+    workers, planning) doesn't dominate a 3-second job."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    images = geotables.images_geo(spark, sf_dir)
+    if mult > 1:
+        images = (
+            images.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            )
+            .withColumn("image_id", F.col("image_id") * mult + F.col("_r"))
+            .drop("_r")
+        )
+    return enrich(
+        images,
+        landcover=geotables.landcover_polygons(spark),
+        stations=geotables.stations(spark, sf_dir),
+        dem_tiles=dem_tiles_df(spark),
+    )
+
+
+def _scaled_pip_only(spark, sf_dir: str, mult: int):
+    """JVM-only enrichment slice (cells + PIP, no Python boundary) — the
+    second scaling datapoint separating the engine's relational core from
+    the fixed Arrow-crossing cost."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark import geotables, grid
+    from tiff_enrichment_pipeline_spark.operators.pip_join import landcover_pip_join
+
+    images = geotables.images_geo(spark, sf_dir)
+    if mult > 1:
+        images = (
+            images.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            )
+            .withColumn("image_id", F.col("image_id") * mult + F.col("_r"))
+            .drop("_r")
+        )
+    cells = images.withColumn(
+        "cell_r7", grid.cell_of(F.col("lon"), F.col("lat"), grid.RES7)
+    ).withColumn("cell_r9", grid.cell_of(F.col("lon"), F.col("lat"), grid.RES9))
+    return landcover_pip_join(cells, geotables.landcover_polygons(spark), res=grid.RES8)
+
+
+def run_scaling_worker(cores: str, mult: int, reps: int = 3) -> None:
+    """One pinned measurement (invoked under ``taskset -c 0-{cores-1}``):
+    plan once, warm up, time ``reps`` runs, print best wall sec."""
+    spark = build_session(cores)
+    n_images = spark.read.parquet(f"{SF_DIR}/orders.parquet").count() * mult
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "flagship")
+    build = _scaled_pip_only if job == "pip" else _scaled_flagship
+    df = build(spark, SF_DIR, mult)
+    _noop_write(df)  # warm-up: JIT, Python workers, broadcasts
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _noop_write(df)
+        best = min(best, time.time() - t0)
+    print(json.dumps({"cores": cores, "sec": round(best, 3), "n_images": n_images}))
+    spark.stop()
+
+
 def run_scaling() -> None:
+    """Two-cluster-size evidence (BASELINE.json north rule): the identical
+    job at 8 vs 32 cores. ``local[N]`` bounds only JVM task slots — pandas-
+    UDF workers are extra OS processes — so each measurement is pinned with
+    ``taskset`` to a true N-core machine, like real cluster containers."""
+    import subprocess
+
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "320"))
+    lo = os.environ.get("SPARK_GRAFT_SCALE_LO", "8")
+    hi = os.environ.get("SPARK_GRAFT_SCALE_HI", "32")
     results = {}
     n_images = None
-    for cores in ("8", "32"):
-        spark = build_session(cores)
-        if n_images is None:
-            n_images = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
-        # warm-up (JIT, file listing) then timed run
-        _noop_write(flagship(spark, SF_DIR))
-        t0 = time.time()
-        _noop_write(flagship(spark, SF_DIR))
-        dt = time.time() - t0
+    for cores in (lo, hi):
+        cmd = [
+            "taskset", "-c", f"0-{int(cores) - 1}",
+            sys.executable, __file__, "--scaling-worker", cores, str(mult),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=560
+        ).stdout.strip().splitlines()[-1]
+        r = json.loads(out)
+        n_images = r["n_images"]
         results[cores] = {
-            "sec": round(dt, 3),
-            "img_per_sec": round(n_images / dt, 1),
+            "sec": r["sec"],
+            "img_per_sec": round(n_images / r["sec"], 1),
         }
-        spark.stop()
-    eff = results["32"]["img_per_sec"] / (4.0 * results["8"]["img_per_sec"])
+    ratio = int(hi) / int(lo)
+    eff = results[hi]["img_per_sec"] / (ratio * results[lo]["img_per_sec"])
     out = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": SF_DIR,
         "n_images": n_images,
-        "local8": results["8"],
-        "local32": results["32"],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
     }
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "flagship")
+    out["job"] = job
     print(json.dumps(out))
     with open(REPO / "BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}, {SF_DIR}, "
+            f"\n## Scaling run — {job} ({time.strftime('%Y-%m-%d %H:%M:%S')}, {SF_DIR}, "
             f"{n_images} images)\n\n"
             f"| cores | wall sec | img/s |\n|---|---|---|\n"
-            f"| local[8] | {results['8']['sec']} | {results['8']['img_per_sec']} |\n"
-            f"| local[32] | {results['32']['sec']} | {results['32']['img_per_sec']} |\n\n"
-            f"Scaling efficiency (8→32 cores, throughput/4×): **{eff:.3f}**\n"
+            f"| local[{lo}] (taskset {lo} cores) | {results[lo]['sec']} | {results[lo]['img_per_sec']} |\n"
+            f"| local[{hi}] (taskset {hi} cores) | {results[hi]['sec']} | {results[hi]['img_per_sec']} |\n\n"
+            f"Scaling efficiency ({lo}->{hi} cores, throughput/{ratio:.0f}x): **{eff:.3f}**\n"
         )
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        run_scaling_worker(sys.argv[i + 1], int(sys.argv[i + 2]))
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         run_default()

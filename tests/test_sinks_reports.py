@@ -1,0 +1,118 @@
+"""Sinks (S6-S9), cleanup filter (P10), surface area (M7), per-op metric
+summary (A9/A10) — the remaining SURVEY §2 operators."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark.fixtures import (
+    api_usage_df,
+    images_df,
+    processing_runs_df,
+)
+from tiff_enrichment_pipeline_spark.functions.geo import (
+    affine_from_center,
+    georef_valid,
+    pixel_size_deg,
+    surface_area_m2,
+)
+
+
+@pytest.fixture()
+def tmp(spark):
+    with tempfile.TemporaryDirectory() as d:
+        yield Path(d)
+
+
+def test_binary_sink_roundtrip(spark, tmp):
+    """GeoTIFF-analog sink (S6, utils/rasterio_utils.py:235-255): binary
+    payload column written to parquet and read back byte-identical."""
+    df = images_df(spark, 4)
+    out = str(tmp / "images_out")
+    df.write.parquet(out)
+    back = spark.read.parquet(out)
+    a = {r["image_id"]: bytes(r["bytes"]) for r in df.collect()}
+    b = {r["image_id"]: bytes(r["bytes"]) for r in back.collect()}
+    assert a == b  # caption/pixel byte-equality through the sink
+
+
+def test_json_and_csv_report_sinks(spark, tmp):
+    """S7 JSON metadata sink + S8 CSV validation-report sink
+    (main.py:387-394,529-535)."""
+    runs = processing_runs_df(spark, 50)
+    jdir, cdir = str(tmp / "j"), str(tmp / "c")
+    runs.select(F.to_json(F.struct("*")).alias("doc")).write.text(jdir)
+    runs.select("run_id", "image_id", "status").write.csv(cdir, header=True)
+    assert spark.read.json(jdir).count() == 50
+    csv = spark.read.csv(cdir, header=True)
+    assert csv.count() == 50 and set(csv.columns) == {"run_id", "image_id", "status"}
+
+
+def test_merge_upsert_on_retry(spark, tmp):
+    """Catalog sink upsert (S9: MERGE INTO semantics on retry,
+    create-tables.sql:253 unique checksum): re-writing a batch replaces
+    rows by key instead of duplicating."""
+    out = str(tmp / "cat")
+    v1 = processing_runs_df(spark, 30)
+    v1.write.parquet(out)
+    # retry of the first 10 with updated status: anti-join old ∪ new
+    retry = (
+        processing_runs_df(spark, 10).withColumn("status", F.lit("completed"))
+    )
+    existing = spark.read.parquet(out)
+    merged = existing.join(retry, "run_id", "left_anti").unionByName(retry)
+    merged.write.mode("overwrite").parquet(str(tmp / "cat2"))
+    final = spark.read.parquet(str(tmp / "cat2"))
+    assert final.count() == 30
+    assert final.filter(
+        (F.col("run_id") < "RUN_000010") & (F.col("status") != "completed")
+    ).count() == 0
+
+
+def test_cleanup_anti_filter_and_area(spark):
+    """P9/P10 georef-validity routing + M7 surface area
+    (core/processor.py:643-668; core/validation.py:101-150)."""
+    img = images_df(spark, 15).filter(F.col("band") == 3)
+    w, h = F.lit(1280), F.lit(960)
+    px, py = pixel_size_deg(F.col("alt"), F.col("lat"))
+    t = affine_from_center(F.col("lon"), F.col("lat"), w, h, px, py)
+    out = img.select(
+        "capture_id", "lat",
+        georef_valid(F.lit("EPSG:4326"), t).alias("ok"),
+        surface_area_m2(t, w, h, F.col("lat")).alias("area_m2"),
+    )
+    rows = out.collect()
+    with_gps = [r for r in rows if r["lat"] is not None]
+    no_gps = [r for r in rows if r["lat"] is None]
+    assert all(r["ok"] for r in with_gps)       # sane drone alts → valid
+    assert all(not r["ok"] for r in no_gps)     # null transform → cleaned up
+    for r in with_gps:
+        # footprint = (gsd_x*1280)·(gsd_y*960); alt∈[20,120] → sane bounds
+        assert 100.0 < r["area_m2"] < 250000.0
+
+
+def test_per_op_metric_summary(spark):
+    """A9/A10 per-op metric rollup (monitoring/rasterio_monitor.py:124-170)
+    over the api_usage fixture: counts, durations, error counts, peak."""
+    api = api_usage_df(spark, 1000)
+    summary = (
+        api.groupBy("api_source")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.sum("response_ms").alias("total_ms"),
+            F.avg("response_ms").alias("avg_ms"),
+            F.max("response_ms").alias("peak_ms"),
+            F.count(F.when(F.col("response_code") >= 400, 1)).alias("n_errors"),
+            F.count(F.when(F.col("cache_hit"), 1)).alias("cache_hits"),
+        )
+    ).collect()
+    assert len(summary) == 5  # the 5 api_source enum values (init-db.sql:59-65)
+    total = sum(r["n_ops"] for r in summary)
+    assert total == 1000
+    for r in summary:
+        assert r["peak_ms"] >= r["avg_ms"]
+        assert 0 <= r["n_errors"] <= r["n_ops"]

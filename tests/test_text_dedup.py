@@ -1,0 +1,127 @@
+"""Text-analysis + dedup + ANN operator unit tests (in-test oracles)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark.functions.text import (
+    predicted_lang,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from tiff_enrichment_pipeline_spark.operators.ann import (
+    brute_force_topk,
+    lsh_topk,
+    srp_bucket_df,
+)
+from tiff_enrichment_pipeline_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signature_df,
+    simhash_df,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too", "en"),
+        (1, "the cat sat on the mat and the dog sat too", "en"),  # exact dup
+        (2, "the cat sat on the mat and the dog stood up", "en"),  # near dup
+        (3, "el gato que se sienta en la alfombra de los", "es"),
+        (4, "completely different words about spark engines here", "en"),
+        (5, "xy", "unknown"),  # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["kept"]: r["n_copies"] for r in exact_dup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 identical, survivor = min id
+    assert groups[2] == 1
+
+
+def test_minhash_near_dup_similarity(spark, docs):
+    sig = {r["doc_id"]: [r[f"sig{j}"] for j in range(8)]
+           for r in minhash_signature_df(docs).collect()}
+    agree_near = sum(a == b for a, b in zip(sig[0], sig[2]))
+    agree_far = sum(a == b for a, b in zip(sig[0], sig[4]))
+    assert sig[0] == sig[1]          # identical docs → identical signatures
+    assert agree_near > agree_far    # near-dup shares more minhashes
+    assert sig[5] == [None] * 8      # <3 tokens → null signature
+
+
+def test_lsh_pairs_catch_exact_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[4])
+
+
+def test_text_functions(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("tc"),
+            predicted_lang(F.col("text")).alias("pl"),
+            word_shingles(F.col("text")).alias("sh"),
+            quality_score(F.col("text"), F.length("text")).alias("q"),
+        ).collect()
+    }
+    assert out[0]["tc"] == 11
+    assert out[0]["pl"] == "en"
+    assert out[3]["pl"] == "es"
+    assert out[5]["sh"] == []
+    assert len(out[0]["sh"]) == 9  # n - 2 trigram shingles
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(df, df, k=3).collect()
+    }
+    M = np.array([v for _, v in vecs], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    S = Mn @ Mn.T
+    for q in range(30):
+        sims = [(-S[q, c], c) for c in range(30) if c != q]
+        sims.sort()
+        for rank in (1, 2, 3):
+            assert got[(q, rank)] == sims[rank - 1][1]
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    # pairs of near-identical vectors → same bucket with high probability
+    vecs = []
+    for i in range(40):
+        vecs.append((2 * i, base[i].astype(np.float32).tolist()))
+        vecs.append(
+            (2 * i + 1, (base[i] + 0.01 * rng.standard_normal(16)).astype(np.float32).tolist())
+        )
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = lsh_topk(df, df, k=1, bits=4)
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for i in range(40) if got.get(2 * i) == 2 * i + 1)
+    assert hits >= 25  # approximate: most twins found in-bucket
+
+    buckets = srp_bucket_df(df, bits=4).select("vec_id", "bucket").collect()
+    b = {r["vec_id"]: r["bucket"] for r in buckets}
+    same = sum(1 for i in range(40) if b[2 * i] == b[2 * i + 1])
+    assert same >= 30

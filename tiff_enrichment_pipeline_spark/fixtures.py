@@ -240,3 +240,62 @@ def api_usage_df(spark: SparkSession, n: int = 2000) -> DataFrame:
         ((ids * 37) % 900 + 20).cast("int").alias("response_ms"),
         ((ids * 3) % 5 < 2).alias("cache_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed payload synthesis (raster queries over driver tables)
+# ---------------------------------------------------------------------------
+
+def band_rows_from_orders(
+    spark: SparkSession, sf_dir: str, capture_modulo: int = 97
+) -> DataFrame:
+    """Payload-bearing 5-band capture rows derived from orders keys.
+
+    Pixels are generated *distributively* (Arrow-batched pandas UDF running
+    ``pixel_band`` per row) — the synthesis itself exercises the engine's
+    binary-column plumbing; geotags reuse the images_geo arithmetic.
+    Captures are subsampled (``o_orderkey % capture_modulo == 0``) to keep
+    payload volume proportional to the correctness run, not the table.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    @F.pandas_udf(BinaryType())
+    def _payload(capture: pd.Series, band: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for c, b, f in zip(capture, band, fmt):
+            px = pixel_band(int(c), int(b))
+            out.append(
+                codec.encode_lossy_q12(px) if f == "lossy-q12"
+                else codec.encode_raw_u16(px)
+            )
+        return pd.Series(out)
+
+    img = geotables.images_geo(spark, sf_dir).filter(
+        F.col("image_id") % capture_modulo == 0
+    )
+    bands = img.select(
+        (F.col("image_id") / capture_modulo).cast("long").alias("capture_no"),
+        "lat", "lon", "alt",
+    ).withColumn("band", F.explode(F.array(*[F.lit(b) for b in range(1, 6)])))
+    fmt = F.when(
+        (F.col("capture_no") * 5 + F.col("band")) % 11 == 3, "lossy-q12"
+    ).otherwise("raw-u16")
+    return (
+        bands.withColumn("fmt", fmt)
+        .withColumn(
+            "capture_id",
+            F.concat(F.lit("IMG_"), F.format_string("%04d", F.col("capture_no").cast("int"))),
+        )
+        .withColumn(
+            "image_id",
+            F.concat(F.col("capture_id"), F.lit("_"), F.col("band").cast("string"), F.lit(".tif")),
+        )
+        .withColumn("bytes", _payload(F.col("capture_no"), F.col("band"), F.col("fmt")))
+        .withColumn("w", F.lit(IMG_W).cast("int"))
+        .withColumn("h", F.lit(IMG_H).cast("int"))
+        .withColumn("band", F.col("band").cast("int"))
+    )

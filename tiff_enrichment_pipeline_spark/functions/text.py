@@ -124,13 +124,20 @@ def fingerprint_sql(text: str) -> str:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles joined by single spaces (MinHash input)."""
+    """n-word shingles joined by single spaces (MinHash input).
+
+    Guarded for <n-token docs: Spark's ``sequence(1, 0)`` counts DOWN
+    (yielding invalid indices under ANSI ``element_at``), so short docs
+    short-circuit to an empty array."""
     t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))),
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(t, i + j) for j in range(n)]
         ),
+    )
+    return F.when(F.size(t) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

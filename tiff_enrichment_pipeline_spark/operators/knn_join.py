@@ -63,6 +63,131 @@ def _m_to_chord2(meters: Column) -> Column:
     return F.lit(4.0) * s * s
 
 
+def build_cell_candidates(
+    s_lat: "np.ndarray", s_lon: "np.ndarray", res: int, ring: int
+) -> dict[int, "np.ndarray"]:
+    """cell id → int32 station indices within the Chebyshev ring (numpy
+    twin of stations_by_cell, used inside Arrow UDFs)."""
+    nx, ny = 2**res, 2 ** (res - 1)
+    w = 360.0 / nx
+    ix = np.clip(((s_lon + 180.0) / w).astype(np.int64), 0, nx - 1)
+    iy = np.clip(((s_lat + 90.0) / w).astype(np.int64), 0, ny - 1)
+    out: dict[int, list[int]] = {}
+    base = np.int64(res) * np.int64(2**56)
+    for si in range(len(s_lat)):
+        for dx in range(-ring, ring + 1):
+            nix = (ix[si] + dx) % nx
+            for dy in range(-ring, ring + 1):
+                niy = iy[si] + dy
+                if 0 <= niy < ny:
+                    cell = int(base + nix * np.int64(2**28) + niy)
+                    out.setdefault(cell, []).append(si)
+    return {c: np.array(v, dtype=np.int32) for c, v in out.items()}
+
+
+def topk_bucketed_np(
+    lat_v: "np.ndarray",
+    lon_v: "np.ndarray",
+    S_xyz: "np.ndarray",
+    s_ids: "np.ndarray",
+    cand_by_cell: dict[int, "np.ndarray"],
+    k: int,
+    res: int,
+    ring: int,
+):
+    """Exact kNN for a batch: cell-bucketed GEMM + certified fallback.
+
+    Returns (idx, d2) arrays of shape (n, k), NaN where no GPS. The
+    bucketed pass touches only ~|ring candidates| stations per row (memory
+    traffic ∝ candidates, not |stations| — the property that keeps Arrow
+    workers bandwidth-scalable); rows whose k-th candidate cannot be
+    certified closer than the ring boundary rescan all stations, exactly.
+    Ordering ties break on station id (matches the SQL oracle).
+    """
+    import math
+
+    n = len(lat_v)
+    out_idx = np.full((n, k), np.nan)
+    out_d2 = np.full((n, k), np.nan)
+    valid = ~np.isnan(lat_v) & ~np.isnan(lon_v)
+    if not valid.any():
+        return out_idx, out_d2
+
+    rp = np.radians(lat_v)
+    rl = np.radians(lon_v)
+    P = np.stack(
+        [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
+    )
+    nx = 2**res
+    ny = 2 ** (res - 1)
+    w = 360.0 / nx
+    ix = np.clip(((lon_v + 180.0) / w), 0, nx - 1)
+    iy = np.clip(((lat_v + 90.0) / w), 0, ny - 1)
+    key = np.where(
+        valid,
+        np.int64(res) * np.int64(2**56)
+        + np.nan_to_num(ix).astype(np.int64) * np.int64(2**28)
+        + np.nan_to_num(iy).astype(np.int64),
+        np.int64(-1),
+    )
+    # guard chord² per row: ring-boundary distance in chord space
+    m_per_deg = 2.0 * math.pi * EARTH_R / 360.0
+    g_m = (
+        ring * w * m_per_deg
+        * np.cos(np.radians(np.minimum(np.abs(np.nan_to_num(lat_v)) + ring * w, 89.9)))
+    )
+    g_half = np.minimum(g_m / (2.0 * EARTH_R), math.pi / 2)
+    guard_c2 = (2.0 * np.sin(g_half)) ** 2
+
+    kk = min(k, S_xyz.shape[0])
+
+    def assign(rows: "np.ndarray", cand: "np.ndarray | None") -> "np.ndarray":
+        """top-k for rows against cand (None = all); returns certified mask."""
+        Sc = S_xyz if cand is None else S_xyz[cand]
+        ids = s_ids if cand is None else s_ids[cand]
+        d2 = 2.0 - 2.0 * (P[rows] @ Sc.T)
+        if kk < d2.shape[1]:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(
+                np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
+            ).copy()
+        pd2 = np.take_along_axis(d2, part, axis=1)
+        # ascending d2, then station id — the oracle's tie-break
+        order = np.lexsort(
+            (ids[part], pd2), axis=1
+        )[:, :kk]
+        sel = np.take_along_axis(part, order, axis=1)
+        sd2 = np.maximum(np.take_along_axis(d2, sel, axis=1), 0.0)
+        gi = sel if cand is None else cand[sel]
+        out_idx[rows] = gi.astype(np.float64)
+        out_d2[rows] = sd2
+        if cand is None:
+            return np.ones(len(rows), dtype=bool)
+        return (pd2.shape[1] >= kk) & (sd2[:, kk - 1] <= guard_c2[rows])
+
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    bounds = np.r_[starts, len(sk)]
+    fallback: list[np.ndarray] = []
+    for gi in range(len(starts)):
+        if sk[starts[gi]] == -1:
+            continue
+        rows = order[bounds[gi]:bounds[gi + 1]]
+        cand = cand_by_cell.get(int(sk[starts[gi]]))
+        if cand is None or len(cand) < kk:
+            fallback.append(rows)
+            continue
+        cert = assign(rows, cand)
+        if not cert.all():
+            fallback.append(rows[~cert])
+    if fallback:
+        fb = np.concatenate(fallback)
+        assign(fb, None)
+    return out_idx, out_d2
+
+
 def _station_struct(stations: DataFrame) -> Column:
     """station struct with precomputed unit-sphere coords appended."""
     x, y, z = _xyz(F.col("st_lat"), F.col("st_lon"))
@@ -164,44 +289,46 @@ def _knn_arrow_idx(
 ) -> tuple[DataFrame, DataFrame]:
     """images + ``_knn_i`` array<struct<idx,d2>> (winner positions), plus the
     index→station payload table (broadcastable, same ordering as idx)."""
-    from pyspark.sql.types import ArrayType, DoubleType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     st_rows = stations.collect()  # dim-table collect == broadcast data motion
     s_lat = np.array([r["st_lat"] for r in st_rows], dtype=np.float64)
     s_lon = np.array([r["st_lon"] for r in st_rows], dtype=np.float64)
+    s_ids = np.array([r["station_id"] for r in st_rows], dtype=np.int64)
     rp, rl = np.radians(s_lat), np.radians(s_lon)
     s_xyz = np.stack(
         [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
     )  # (S, 3)
+    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=10, ring=2)
     sc = images.sparkSession.sparkContext
-    bc = sc.broadcast(s_xyz)
+    bc = sc.broadcast((s_xyz, s_ids, cand_by_cell))
     kk = min(k, len(st_rows))
 
-    # flat array [idx0, d2_0, idx1, d2_1, …] — numpy-native Arrow conversion
-    # (list<struct> construction via Python dicts is ~10× slower per batch)
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def _topk_idx(plat: pd.Series, plon: pd.Series) -> pd.Series:
-        S = bc.value  # (S,3)
-        rp = np.radians(plat.to_numpy(np.float64))
-        rl = np.radians(plon.to_numpy(np.float64))
-        P = np.stack(
-            [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
-        )  # (B,3)
-        d2 = 2.0 - 2.0 * (P @ S.T)  # (B,S) squared chords
-        if kk < d2.shape[1]:
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(
-                np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
-            ).copy()
-        pd2 = np.take_along_axis(d2, part, axis=1)
-        order = np.argsort(pd2, axis=1, kind="stable")  # exact ascending
-        idx = np.take_along_axis(part, order, axis=1)
-        pd2 = np.maximum(np.take_along_axis(pd2, order, axis=1), 0.0)
-        flat = np.empty((idx.shape[0], 2 * idx.shape[1]), dtype=np.float64)
-        flat[:, 0::2] = idx
-        flat[:, 1::2] = pd2
-        return pd.Series(list(flat))
+    # fixed-width struct i0,d0,i1,d1,… — returned as a pd.DataFrame of flat
+    # float64 columns, the fastest Arrow path (per-row Python lists are
+    # ~10× slower per batch; k is a plan-time constant so width is static)
+    out_t = StructType(
+        [
+            f
+            for j in range(kk)
+            for f in (
+                StructField(f"i{j}", DoubleType()),
+                StructField(f"d{j}", DoubleType()),
+            )
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _topk_idx(plat: pd.Series, plon: pd.Series) -> pd.DataFrame:
+        S, ids, cand = bc.value
+        lat_v = plat.to_numpy(np.float64, na_value=np.nan)
+        lon_v = plon.to_numpy(np.float64, na_value=np.nan)
+        idx, d2v = topk_bucketed_np(lat_v, lon_v, S, ids, cand, kk, res=10, ring=2)
+        cols: dict[str, np.ndarray] = {}
+        for j in range(kk):
+            cols[f"i{j}"] = idx[:, j]
+            cols[f"d{j}"] = d2v[:, j]
+        return pd.DataFrame(cols)
 
     spark = images.sparkSession
     st_indexed = spark.createDataFrame(
@@ -209,7 +336,7 @@ def _knn_arrow_idx(
         schema=("_st_idx int, " + ", ".join(f"{c} {t}" for c, t in stations.dtypes)),
     )
     with_idx = images.withColumn("_knn_i", _topk_idx(F.col(lat), F.col(lon)))
-    return with_idx, st_indexed
+    return with_idx, st_indexed, kk
 
 
 def knn_nearest(
@@ -221,12 +348,10 @@ def knn_nearest(
     """images + nearest station payload columns + ``dist_m`` — the 1-NN
     shape the enrichment plan consumes. One Arrow map stage + one broadcast
     equi-join (codegen); nothing shuffles."""
-    with_idx, st_indexed = _knn_arrow_idx(images, stations, k=1, lon=lon, lat=lat)
+    with_idx, st_indexed, _ = _knn_arrow_idx(images, stations, k=1, lon=lon, lat=lat)
     out = (
-        with_idx.withColumn(
-            "_st_idx", F.element_at(F.col("_knn_i"), 1).cast("int")
-        )
-        .withColumn("dist_m", _chord2_to_m(F.element_at(F.col("_knn_i"), 2)))
+        with_idx.withColumn("_st_idx", F.col("_knn_i")["i0"].cast("int"))
+        .withColumn("dist_m", _chord2_to_m(F.col("_knn_i")["d0"]))
         .drop("_knn_i")
         .join(F.broadcast(st_indexed), "_st_idx", "left")
         .drop("_st_idx")
@@ -245,20 +370,21 @@ def _knn_arrow(
     # array (plan-size cost ∝ |stations|; prefer knn_nearest /
     # knn_station_join for hot paths — they use a broadcast join instead)
     st_cols = stations.columns
-    with_idx, _ = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
+    with_idx, _, kk = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
     lit_arr = all_stations_literal(stations)
-    arr = F.col("_knn_i")
-    knn = F.transform(
-        F.sequence(F.lit(1), (F.size(arr) / F.lit(2)).cast("int")),
-        lambda j: F.struct(
-            _chord2_to_m(F.element_at(arr, j * 2)).alias("dist_m"),
-            *[
-                F.element_at(
-                    lit_arr, F.element_at(arr, j * 2 - 1).cast("int") + 1
-                )[c].alias(c)
-                for c in st_cols
-            ],
-        ),
+    knn = F.array(
+        *[
+            F.struct(
+                _chord2_to_m(F.col("_knn_i")[f"d{j}"]).alias("dist_m"),
+                *[
+                    F.element_at(
+                        lit_arr, F.col("_knn_i")[f"i{j}"].cast("int") + 1
+                    )[c].alias(c)
+                    for c in st_cols
+                ],
+            )
+            for j in range(kk)
+        ]
     )
     return with_idx.withColumn("knn", knn).drop("_knn_i")
 
@@ -363,24 +489,26 @@ def knn_station_join(
             F.col("_s")["dist_m"].alias("dist_m"),
         )
 
-    with_idx, st_indexed = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
-    # flat [idx,d2]× pairs → one row per rank (JVM-side unpack)
-    ranks = F.explode(
-        F.sequence(F.lit(1), (F.size("_knn_i") / F.lit(2)).cast("int"))
+    with_idx, st_indexed, kk = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
+    # fixed-width struct → one row per rank (JVM-side unpack, pure codegen)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j + 1).alias("rank"),
+                F.col("_knn_i")[f"i{j}"].alias("i"),
+                F.col("_knn_i")[f"d{j}"].alias("d"),
+            )
+            for j in range(kk)
+        ]
     )
     exploded = with_idx.select(
         *[c for c in images.columns],
-        F.col("_knn_i"),
-        ranks.alias("rank"),
+        F.explode(pairs).alias("_p"),
     ).select(
         *[c for c in images.columns],
-        F.col("rank").cast("int").alias("rank"),
-        F.element_at(F.col("_knn_i"), F.col("rank") * 2 - 1)
-        .cast("int")
-        .alias("_st_idx"),
-        _chord2_to_m(
-            F.element_at(F.col("_knn_i"), F.col("rank") * 2)
-        ).alias("dist_m"),
+        F.col("_p")["rank"].cast("int").alias("rank"),
+        F.col("_p")["i"].cast("int").alias("_st_idx"),
+        _chord2_to_m(F.col("_p")["d"]).alias("dist_m"),
     )
     joined = exploded.join(F.broadcast(st_indexed), "_st_idx", "left").drop("_st_idx")
     return joined.select(

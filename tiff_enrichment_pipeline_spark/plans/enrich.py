@@ -1,18 +1,18 @@
-"""The flagship enrichment DAG: geotag → cells → PIP → kNN → elevation.
+"""The flagship enrichment DAG: geotag → cells → PIP → weather+elevation.
 
 One lazy DataFrame plan re-creating the reference's documented workflow step
 "Geospatial enrichment fetches elevation, weather, land cover data"
 (reference: README.md:403-404; target schema metadata.enrichment_data,
 scripts/create-tables.sql:118-161) with zero external services:
 
-  images ──cell encode (map)──► PIP land-cover (broadcast join, map-side)
-         ──kNN weather (broadcast ring join + 1 window shuffle)
-         ──elevation (broadcast tile join + Arrow bilinear UDF)
-         ──► enriched rows
+  images ──cell encode (codegen map)
+         ──PIP land-cover (broadcast hash join, refine in join condition)
+         ──fused Arrow lookup (1-NN station GEMM + DEM bilinear, ONE
+           JVM→Python crossing) ──broadcast payload joins──► enriched rows
 
-Exactly one shuffle on the big side (the kNN per-image window); everything
-else is map stages + broadcast joins, which is what survives a 1000-executor
-100 TB run. GPS-less rows route around enrichment and union back
+ZERO shuffles of the image table; a single Python boundary per row
+(operators/geo_arrow.py — the standalone kNN/elevation operators remain the
+oracle-checked API). GPS-less rows route around enrichment and union back
 (reference's no-GPS path, src/pipeline/utils/gps_utils.py:87-94).
 """
 
@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 
 from tiff_enrichment_pipeline_spark import grid
 from tiff_enrichment_pipeline_spark.functions.geo import gps_valid
-from tiff_enrichment_pipeline_spark.operators.elevation import elevation_join
-from tiff_enrichment_pipeline_spark.operators.knn_join import knn_nearest
+from tiff_enrichment_pipeline_spark.operators.geo_arrow import (
+    fused_station_dem_lookup,
+)
 from tiff_enrichment_pipeline_spark.operators.pip_join import landcover_pip_join
 
 
@@ -37,9 +38,10 @@ def enrich(
 ) -> DataFrame:
     """Full enrichment of a geotagged image table.
 
-    Output: input columns + cell_r7/8/9, polygon_id, land_cover_class,
-    land_cover_confidence, weather struct (k-NN aggregated: idw temp etc.),
-    elevation, elevation_source, elevation_accuracy_m, enrich_status.
+    Output: input columns + cell_r7/9 (+ the PIP join's res-8 cell),
+    polygon_id, land_cover_class, land_cover_confidence, weather map,
+    weather_station_id, elevation, elevation_source, elevation_accuracy_m,
+    enrich_status.
     """
     valid = gps_valid(F.col("lat"), F.col("lon"))
     with_gps = images.filter(valid)
@@ -52,27 +54,23 @@ def enrich(
 
     lc = landcover_pip_join(cells, landcover, res=grid.RES8)
 
-    # 1-NN weather — Arrow top-k map stage + broadcast payload join; keeps
-    # the whole enrichment shuffle-free on the probe side (SURVEY.md J6)
-    near = knn_nearest(lc, stations)
-    with_weather = near.withColumn(
-        "weather",
-        F.map_from_arrays(
-            F.array(
-                F.lit("temp_c"), F.lit("wind_ms"),
-                F.lit("precip_mm"), F.lit("nearest_dist_m"),
-            ),
-            F.array(
+    geo = fused_station_dem_lookup(lc, stations, dem_tiles)
+    # weather as a STRUCT, not map<string,double>: the reference's JSONB
+    # payload (create-tables.sql:129) is schemaless, but per-row string map
+    # keys cost real allocation bandwidth at 10^8 rows; a typed struct
+    # serializes as 4 doubles (to_json on it reproduces the JSONB shape)
+    enriched = (
+        geo.withColumn(
+            "weather",
+            F.struct(
                 F.col("temp_c"), F.col("wind_ms"),
-                F.col("precip_mm"), F.col("dist_m"),
+                F.col("precip_mm"),
+                F.col("dist_m").alias("nearest_dist_m"),
             ),
-        ),
-    ).withColumnRenamed("station_id", "weather_station_id").drop(
-        "st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m"
-    )
-
-    enriched = elevation_join(with_weather, dem_tiles).withColumn(
-        "enrich_status", F.lit("enriched")
+        )
+        .withColumnRenamed("station_id", "weather_station_id")
+        .drop("st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m")
+        .withColumn("enrich_status", F.lit("enriched"))
     )
 
     passthrough = no_gps

@@ -1061,3 +1061,56 @@ _B3_ORACLES = {
 }
 QUERIES.update(_B3_QUERIES)
 ORACLES.update(_B3_ORACLES)
+
+
+# ===========================================================================
+# Raster pipeline queries — rows-only driver checks (pixel kernels are not
+# SQL-expressible; golden-value parity lives in tests/test_kernels.py and
+# tests/test_capture_pipeline.py against the reference's constants)
+# ===========================================================================
+
+def q_capture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-capture raster lifecycle (J1+R9+M8+R1-R8+M9+A1): synthesize
+    band payloads from orders → groupBy(capture).applyInPandas(align ∘
+    calibrate ∘ indices ∘ QC). Rows-only check; values pinned by pytest
+    goldens (reference: core/processor.py:177-298)."""
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.udfs import process_captures
+
+    bands = band_rows_from_orders(spark, sf_dir)
+    out = process_captures(bands)
+    return out.select(
+        "capture_id", "status", "n_bands",
+        F.round("ndvi_mean", 6).alias("ndvi_mean"),
+        F.round("evi_mean", 6).alias("evi_mean"),
+        F.round("veg_pct", 4).alias("veg_pct"),
+        F.round("psnr_min_db", 2).alias("psnr_min_db"),
+    )
+
+
+def q_image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-integrity scan (S4/M11, utils/rasterio_utils.py:118-155):
+    sha2(payload), byte length, non-empty + PSNR lossy invariant
+    (input_hint). Rows-only check."""
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.udfs import psnr_vs_q12
+
+    bands = band_rows_from_orders(spark, sf_dir)
+    return bands.select(
+        "image_id",
+        F.sha2(F.col("bytes"), 256).alias("sha256"),
+        F.length(F.col("bytes")).alias("n_bytes"),
+        (F.length(F.col("bytes")) > 0).alias("non_empty"),
+        F.round(
+            psnr_vs_q12(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")), 2
+        ).alias("psnr_vs_q12_db"),
+    )
+
+
+QUERIES.update(
+    {
+        "capture_pipeline": q_capture_pipeline,
+        "image_integrity": q_image_integrity,
+    }
+)
+# intentionally absent from ORACLES → driver records rows-only checks
