@@ -35,18 +35,18 @@ def parse_dms(coord: Column) -> Column:
     secs = F.regexp_extract(s, _DMS_RE, 3)
     hemi_dms = F.upper(F.regexp_extract(s, _DMS_RE, 4))
     dms_val = (
-        deg.cast("double")
-        + mins.cast("double") / F.lit(60.0)
-        + secs.cast("double") / F.lit(3600.0)
+        deg.try_cast("double")
+        + mins.try_cast("double") / F.lit(60.0)
+        + secs.try_cast("double") / F.lit(3600.0)
     )
     dms_signed = F.when(hemi_dms.isin("S", "W"), -dms_val).otherwise(dms_val)
 
     dec = F.regexp_extract(s, _DEC_HEMI_RE, 1)
     hemi_dec = F.upper(F.regexp_extract(s, _DEC_HEMI_RE, 2))
-    dec_val = dec.cast("double")
+    dec_val = dec.try_cast("double")
     dec_signed = F.when(hemi_dec.isin("S", "W"), -dec_val).otherwise(dec_val)
 
-    plain = F.regexp_extract(s, _PLAIN_RE, 1).cast("double")
+    plain = F.regexp_extract(s, _PLAIN_RE, 1).try_cast("double")
 
     return F.coalesce(
         F.when(deg != "", dms_signed),
@@ -60,11 +60,12 @@ def parse_altitude(alt_str: Column) -> Column:
     """First float in an altitude string, e.g. ``"26.9 m Above Sea Level"``
     → 26.9 (reference: utils/gps_utils.py:73-79). Fallback 0.0."""
     return F.coalesce(
-        F.regexp_extract(F.trim(alt_str), _FLOAT_RE, 0).cast("double"), F.lit(0.0)
+        F.regexp_extract(F.trim(alt_str), _FLOAT_RE, 0).try_cast("double"),
+        F.lit(0.0),
     )
 
 
 def parse_exif_timestamp(ts: Column) -> Column:
-    """EXIF ``YYYY:MM:DD HH:MM:SS`` → timestamp
-    (reference: utils/gps_utils.py:81-86)."""
-    return F.to_timestamp(ts, "yyyy:MM:dd HH:mm:ss")
+    """EXIF ``YYYY:MM:DD HH:MM:SS`` → timestamp, NULL on malformed input
+    (ANSI-safe; reference: utils/gps_utils.py:81-86)."""
+    return F.try_to_timestamp(ts, F.lit("yyyy:MM:dd HH:mm:ss"))
