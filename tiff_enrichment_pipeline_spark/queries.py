@@ -1114,3 +1114,119 @@ QUERIES.update(
     }
 )
 # intentionally absent from ORACLES → driver records rows-only checks
+
+
+# ===========================================================================
+# Batch 4: the full flagship as a value-exact oracle + ring/resume ops
+# ===========================================================================
+
+def q_enrich_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE flagship enrichment (cells → PIP → 1-NN weather →
+    elevation) value-checked end-to-end against closed-form SQL — the
+    north_star 'matching join output rows and tile assignments' check."""
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    out = enrich(
+        geotables.images_geo(spark, sf_dir),
+        landcover=geotables.landcover_polygons(spark),
+        stations=geotables.stations(spark, sf_dir),
+        dem_tiles=dem_tiles_df(spark),
+    )
+    return out.select(
+        "image_id",
+        "land_cover_class",
+        F.round("land_cover_confidence", 6).alias("land_cover_confidence"),
+        "weather_station_id",
+        F.round(F.col("weather")["temp_c"], 4).alias("temp_c"),
+        F.round("elevation", 4).alias("elevation"),
+        "elevation_source",
+        "enrich_status",
+    )
+
+
+def q_enrich_full_sql() -> str:
+    cls, conf = geotables.landcover_lookup_sql("i.lon", "i.lat")
+    d = haversine_m_sql("i.lat", "i.lon", "s.st_lat", "s.st_lon")
+    elev = geotables.elevation_bilinear_sql("i.lon", "i.lat")
+    t = geotables.DEM_TILE_DEG
+    in_dem = "i.lon >= 3.0 AND i.lon < 7.3 AND i.lat >= 50.7 AND i.lat < 53.6"
+    src = (
+        f"CASE WHEN CAST(FLOOR(i.lon/{t}) + FLOOR(i.lat/{t}) AS BIGINT)%2 = 0 "
+        f"THEN 'usgs_3dep' ELSE 'nasa_srtm' END"
+    )
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    stations AS ({geotables.stations_sql()}),
+    nn AS (
+      SELECT i.image_id, s.station_id, s.temp_c,
+             ROW_NUMBER() OVER (PARTITION BY i.image_id ORDER BY {d} ASC, s.station_id ASC) AS rn
+      FROM images i CROSS JOIN stations s
+    )
+    SELECT i.image_id,
+           {cls} AS land_cover_class,
+           ROUND({conf}, 6) AS land_cover_confidence,
+           nn.station_id AS weather_station_id,
+           ROUND(nn.temp_c, 4) AS temp_c,
+           CASE WHEN {in_dem} THEN ROUND({elev}, 4) END AS elevation,
+           CASE WHEN {in_dem} THEN {src} END AS elevation_source,
+           'enriched' AS enrich_status
+    FROM images i JOIN nn ON nn.image_id = i.image_id AND nn.rn = 1"""
+
+
+def q_cell_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring expansion (the H3 k_ring analogue, SURVEY J6 build side):
+    each image's res-10 ring-1 neighbor cells, exploded."""
+    img = geotables.images_geo(spark, sf_dir).filter(F.col("image_id") % 50 == 0)
+    cell = grid.cell_of(F.col("lon"), F.col("lat"), 10)
+    return img.select(
+        "image_id", F.explode(grid.kring_cells(cell, 10, 1)).alias("ring_cell")
+    )
+
+
+def q_cell_kring_sql() -> str:
+    nx, ny = 2**10, 2**9
+    ks, ixs = 2**56, 2**28
+    ix = f"CAST(GREATEST(LEAST(FLOOR((lon+180.0)/360.0*{nx}), {nx - 1}), 0) AS BIGINT)"
+    iy = f"CAST(GREATEST(LEAST(FLOOR((lat+90.0)/180.0*{ny}), {ny - 1}), 0) AS BIGINT)"
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    base AS (
+      SELECT image_id, {ix} AS ix, {iy} AS iy FROM images
+      WHERE image_id % 50 = 0
+    ),
+    offs AS (SELECT dx, dy FROM generate_series(-1,1) t1(dx), generate_series(-1,1) t2(dy))
+    SELECT image_id,
+           (10*CAST({ks} AS BIGINT) + ((ix+dx+{nx})%{nx})*{ixs} + (iy+dy)) AS ring_cell
+    FROM base CROSS JOIN offs
+    WHERE iy+dy >= 0 AND iy+dy < {ny}"""
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume anti-join (P11 / SURVEY §4 'incremental skip-done'):
+    images minus an already-processed key set."""
+    from tiff_enrichment_pipeline_spark.operators.lineage import resume_filter
+
+    img = geotables.images_geo(spark, sf_dir)
+    processed = img.filter(F.col("image_id") % 3 == 0).select("image_id")
+    return resume_filter(img, processed).select("image_id")
+
+
+def q_resume_antijoin_sql() -> str:
+    return f"""WITH images AS ({geotables.images_geo_sql()})
+    SELECT image_id FROM images
+    WHERE image_id NOT IN (SELECT image_id FROM images WHERE image_id % 3 = 0)"""
+
+
+QUERIES.update(
+    {
+        "enrich_full": q_enrich_full,
+        "cell_kring": q_cell_kring,
+        "resume_antijoin": q_resume_antijoin,
+    }
+)
+ORACLES.update(
+    {
+        "enrich_full": q_enrich_full_sql(),
+        "cell_kring": q_cell_kring_sql(),
+        "resume_antijoin": q_resume_antijoin_sql(),
+    }
+)
