@@ -96,3 +96,44 @@ def test_surrogate_key_deterministic(spark):
     k2 = df.select(surrogate_key(F.col("image_id"), F.lit("enrich")).alias("k")).collect()
     assert k1 == k2
     assert len({r["k"] for r in k1}) == 2
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmpdirs):
+    """Streaming flavor of the hourly bucket agg (A7, SURVEY §2.9): tumbling
+    event-time window + watermark for late data, availableNow drain."""
+    in_dir = str(tmpdirs / "agg_in")
+    out_dir = str(tmpdirs / "aggout")
+    ckpt = str(tmpdirs / "aggck")
+
+    events = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 {10 + (i % 3):02d}:15:00", float(i))
+            for i in range(60)
+        ],
+        "event_id long, ts_s string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    events.write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, value double, ts timestamp")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows: final watermark =
+    # max event time (12:15) − 1h = 11:15 → only [10:00,11:00) has closed;
+    # [11,12) and [12,13) stay open awaiting late data — exactly the
+    # late-data semantics the reference's batch re-scan never had
+    out = spark.read.parquet(out_dir)
+    rows = {r["w"]["start"].hour: r["n"] for r in out.collect()}
+    assert rows == {10: 20}

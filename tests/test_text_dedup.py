@@ -125,3 +125,30 @@ def test_lsh_topk_recall(spark):
     b = {r["vec_id"]: r["bucket"] for r in buckets}
     same = sum(1 for i in range(40) if b[2 * i] == b[2 * i + 1])
     assert same >= 30
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=n_lists must equal brute force exactly; smaller
+    nprobe trades recall for pruning."""
+    import duckdb  # noqa: F401  (documents independence from Spark)
+    from tiff_enrichment_pipeline_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    brute = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(df, df, k=3).collect()
+    }
+    full = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, df, k=3, n_lists=8, nprobe=8).collect()
+    }
+    assert full == brute  # probing every list == exact
+
+    part = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, df, k=3, n_lists=8, nprobe=3).collect()
+    }
+    hits = sum(1 for kk, v in brute.items() if part.get(kk) == v)
+    assert hits >= 0.6 * len(brute)  # decent recall at nprobe=3/8

@@ -179,3 +179,113 @@ def lsh_topk(
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — coarse quantizer + probed-list search
+# ---------------------------------------------------------------------------
+
+def _kmeans_np(X: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means (evenly-strided init, fixed iterations) over a
+    driver-collected corpus sample — the coarse quantizer. No RNG state, so
+    bucket assignments are reproducible across runs/sessions."""
+    idx = np.linspace(0, len(X) - 1, k).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    return C / norms[:, None]
+
+
+def ivf_assign_df(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vectors + ``ivf_list`` (nearest-centroid id) — the IVF partitioning
+    column. At 100 TB the corpus would be written partitioned by this
+    column so a probe prunes to nprobe partitions (the quad-cell trick,
+    applied to embedding space)."""
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def _assign(vec: pd.Series) -> pd.Series:
+        C = bc.value
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = 1.0
+        V = V / n[:, None]
+        return pd.Series((V @ C.T).argmax(axis=1).astype(np.int32))
+
+    return vectors.withColumn("ivf_list", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest IVF lists, exact
+    cosine rank within them (GEMM per batch). recall→1 as nprobe→n_lists."""
+    from pyspark.sql import Window
+
+    ids, C_corpus = _corpus_matrix(corpus, id_col, vec_col)
+    cents = _kmeans_np(C_corpus, n_lists)
+    corpus_a = ivf_assign_df(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "ivf_list"
+    )
+
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast(cents)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vec: pd.Series) -> pd.Series:
+        C = bc.value
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = 1.0
+        V = V / n[:, None]
+        sims = V @ C.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    qp = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("ivf_list", F.explode(_probes(F.col("qv"))))
+
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate(
+        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(
+        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        qp.join(F.broadcast(corpus_a), "ivf_list")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("cid").alias("neighbor_id"),
+            "cosine",
+        )
+    )

@@ -1230,3 +1230,17 @@ ORACLES.update(
         "resume_antijoin": q_resume_antijoin_sql(),
     }
 )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means coarse quantizer, nprobe=4 of 16
+    lists) — rows-only driver check (iterative k-means isn't
+    SQL-expressible); recall vs brute force pinned in pytest."""
+    from tiff_enrichment_pipeline_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, emb, k=5, n_lists=16, nprobe=4)
+
+
+QUERIES.update({"ivf_ann": q_ivf_ann})
