@@ -1244,3 +1244,102 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ivf_ann": q_ivf_ann})
+
+
+# ===========================================================================
+# Batch 5: cumulative windows, lag/sessionization, semi-joins
+# ===========================================================================
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window (running revenue per customer over order dates)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_running_total_sql() -> str:
+    return """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders"""
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() sessionization: per-user gap (seconds) between consecutive
+    events + new-session flag at >1800 s (the watcher-cadence analogue)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    return e.select(
+        "user_id",
+        "event_id",
+        gap.alias("gap_s"),
+        F.coalesce(gap > 1800, F.lit(True)).alias("new_session"),
+    )
+
+
+def q_event_gaps_sql() -> str:
+    prev = (
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+    )
+    gap = f"CAST(FLOOR(epoch(ts)) - FLOOR(epoch({prev})) AS BIGINT)"
+    return f"""SELECT user_id, event_id, {gap} AS gap_s,
+           COALESCE({gap} > 1800, TRUE) AS new_session
+    FROM events"""
+
+
+def q_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi (orders having a high-value line) + NOT EXISTS /
+    left-anti — the decorrelated-subquery pair Catalyst plans as semi/anti
+    hash joins."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 50000.0)
+    with_big = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+    without_big = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")
+    return (
+        with_big.select("o_orderkey", F.lit(True).alias("has_big_line"))
+        .unionByName(
+            without_big.select("o_orderkey", F.lit(False).alias("has_big_line"))
+        )
+    )
+
+
+def q_exists_semijoin_sql() -> str:
+    return """SELECT o_orderkey, TRUE AS has_big_line FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000.0)
+    UNION ALL
+    SELECT o_orderkey, FALSE AS has_big_line FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000.0)"""
+
+
+QUERIES.update(
+    {
+        "running_total": q_running_total,
+        "event_gaps": q_event_gaps,
+        "exists_semijoin": q_exists_semijoin,
+    }
+)
+ORACLES.update(
+    {
+        "running_total": q_running_total_sql(),
+        "event_gaps": q_event_gaps_sql(),
+        "exists_semijoin": q_exists_semijoin_sql(),
+    }
+)
