@@ -49,14 +49,27 @@ def cell_width_deg(k: int) -> float:
 # ---------------------------------------------------------------------------
 
 def cell_of(lon: Column, lat: Column, k: int) -> Column:
-    """Encode (lon, lat) → int64 cell id at resolution k. Null-safe."""
+    """Encode (lon, lat) → int64 cell id at resolution k.
+
+    Null-safe for real: NULL (or NaN) lon/lat yields a NULL cell id.
+    F.least/F.greatest skip nulls, so without the guard a null coordinate
+    would silently encode to the valid corner cell (ix=nx-1, iy=ny-1) and
+    pile every GPS-less row into one fake hot cell.
+    """
     nx = 2**k
     ny = 2 ** (k - 1)
     ix = F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(nx - 1))
     ix = F.greatest(ix, F.lit(0))
     iy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(ny - 1))
     iy = F.greatest(iy, F.lit(0))
-    return (F.lit(k) * F.lit(_K_SHIFT) + ix * F.lit(_IX_SHIFT) + iy).cast("long")
+    ok = (
+        lon.isNotNull()
+        & lat.isNotNull()
+        & ~F.isnan(lon.cast("double"))
+        & ~F.isnan(lat.cast("double"))
+    )
+    cell = (F.lit(k) * F.lit(_K_SHIFT) + ix * F.lit(_IX_SHIFT) + iy).cast("long")
+    return F.when(ok, cell)
 
 
 def cell_res(cell: Column) -> Column:

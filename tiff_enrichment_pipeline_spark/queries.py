@@ -336,7 +336,17 @@ def q_capture_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("complete", F.col("n_bands") == 5)
         .withColumn(
             "missing_bands",
-            F.array_except(F.array(*[F.lit(i) for i in range(1, 6)]), F.col("bands")),
+            # serialized to a CSV string: the driver's canonicalizer hashes
+            # cell values with pandas and cannot factorize list cells
+            F.array_join(
+                F.transform(
+                    F.array_except(
+                        F.array(*[F.lit(i) for i in range(1, 6)]), F.col("bands")
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
         )
         .drop("bands")
     )
@@ -350,7 +360,7 @@ def q_capture_assembly_sql() -> str:
     SELECT capture,
            CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
            COUNT(DISTINCT band) = 5 AS complete,
-           list_filter([1,2,3,4,5], x -> NOT list_contains(list(DISTINCT band), x)) AS missing_bands
+           COALESCE(array_to_string(list_filter([1,2,3,4,5], x -> NOT list_contains(list(DISTINCT band), x)), ','), '') AS missing_bands
     FROM b GROUP BY capture"""
 
 
@@ -939,20 +949,30 @@ def q_first_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic first-element-of-sorted-group (W3, processor.py:325
     sorted band iteration): the lowest-linenumber part per order."""
     li = _t(spark, sf_dir, "lineitem")
-    # composite-encoded min → deterministic under duplicate linenumbers
-    enc = F.col("l_linenumber").cast("long") * 1000000 + F.col("l_partkey")
+    # composite-encoded min → deterministic under duplicate linenumbers;
+    # 2^40 multiplier keeps partkey decodable up to ~1.1e12 (safe at any SF)
+    enc = F.col("l_linenumber").cast("long") * F.lit(1 << 40).cast("long") + F.col(
+        "l_partkey"
+    )
     return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.min("l_linenumber").alias("first_line"),
-        (F.min(enc) % 1000000).alias("first_partkey"),
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_order"),
+        (F.min(enc) % F.lit(1 << 40).cast("long")).alias("first_partkey"),
+        # CSV string, not array: driver canonicalizer cannot hash list cells
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_order"),
     )
 
 
 def q_first_line_per_order_sql() -> str:
     return """SELECT l_orderkey AS orderkey,
            MIN(l_linenumber) AS first_line,
-           MIN(CAST(l_linenumber AS BIGINT)*1000000 + l_partkey) % 1000000 AS first_partkey,
-           list_sort(list(l_linenumber)) AS line_order
+           MIN(CAST(l_linenumber AS BIGINT)*1099511627776 + l_partkey) % 1099511627776 AS first_partkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_order
     FROM lineitem GROUP BY l_orderkey"""
 
 
