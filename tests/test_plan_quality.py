@@ -56,8 +56,14 @@ def test_pip_join_is_broadcast_with_pruned_columns(spark):
 
 def test_knn_hof_strategy_matches_arrow(spark):
     """The pure-DataFrame 'hof' strategy must agree with the Arrow GEMM
-    strategy rank-for-rank (both exact by construction)."""
+    strategy rank-for-rank (both exact by construction); null/NaN-GPS rows
+    must yield NO fabricated matches in either strategy."""
     img = geotables.images_geo(spark, SF).select("image_id", "lon", "lat").limit(60)
+    bad = spark.createDataFrame(
+        [(-1, None, None), (-2, float("nan"), 52.0), (-3, 4.9, None)],
+        "image_id long, lon double, lat double",
+    )
+    img = img.unionByName(bad)
     st = geotables.stations(spark, SF)
     a = {
         (r["image_id"], r["rank"]): r["station_id"]
@@ -68,6 +74,23 @@ def test_knn_hof_strategy_matches_arrow(spark):
         for r in knn_station_join(img, st, k=2, strategy="hof").collect()
     }
     assert a == b
+    assert not any(iid < 0 for iid, _ in a)  # no-GPS rows emit no rows
+
+
+def test_knn_plan_size_independent_of_station_count(spark):
+    """No literal whose expression size grows with |stations|: the hof
+    fallback and the arrow payload form must keep plan size O(1)/O(k)."""
+    import tiff_enrichment_pipeline_spark.operators.knn_join as kj
+
+    img = geotables.images_geo(spark, SF).select("image_id", "lon", "lat").limit(5)
+    st = geotables.stations(spark, SF)
+    small = kj._knn_hof(img, st.limit(10), k=2)
+    big = kj._knn_hof(img, st, k=2)
+    # logical plan string length must not scale with station count
+    ls, lb = len(str(small._jdf.queryExecution().logical())), len(
+        str(big._jdf.queryExecution().logical())
+    )
+    assert lb < ls * 2, (ls, lb)
 
 
 def test_streaming_reuses_real_enrich(spark, tmp_path):

@@ -21,6 +21,7 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 from tiff_enrichment_pipeline_spark.geotables import DEM_N, DEM_STEP, DEM_TILE_DEG
 from tiff_enrichment_pipeline_spark.operators.knn_join import (
     _chord2_to_m,
+    _safe_idx,
     build_cell_candidates,
     topk_bucketed_np,
 )
@@ -117,11 +118,16 @@ def fused_station_dem_lookup(
         F.col("source").alias("elevation_source"),
         F.col("accuracy_m").alias("elevation_accuracy_m"),
     )
-    tx = F.floor(F.col(lon) / F.lit(DEM_TILE_DEG)).cast("int")
-    ty = F.floor(F.col(lat) / F.lit(DEM_TILE_DEG)).cast("int")
+    # NaN-gated (ANSI cast of NaN→int throws; NULL floor is already NULL)
+    tx = F.when(
+        ~F.isnan(F.col(lon)), F.floor(F.col(lon) / F.lit(DEM_TILE_DEG))
+    ).cast("int")
+    ty = F.when(
+        ~F.isnan(F.col(lat)), F.floor(F.col(lat) / F.lit(DEM_TILE_DEG))
+    ).cast("int")
     out = (
         images.withColumn("_geo", _lookup(F.col(lat), F.col(lon)))
-        .withColumn("_st_idx", F.col("_geo")["st_idx"].cast("int"))
+        .withColumn("_st_idx", _safe_idx(F.col("_geo")["st_idx"]))
         .withColumn("dist_m", _chord2_to_m(F.col("_geo")["d2"]))
         .withColumn("elevation", F.col("_geo")["elevation"])
         .withColumn("tile_x", tx)

@@ -19,10 +19,13 @@ provably-exact kNN join (SURVEY.md J6, W5). Design for the 100 TB side:
   oracle's ``ORDER BY dist, station_id``).
 - **Exactness guarantee + fallback.** Ring answers are certified iff the
   k-th chord ≤ chord(ring-boundary distance); uncertified rows (sparse
-  regions) rescan the full station table, provided as a *constant-folded
-  literal array* — evaluated only inside the fallback branch, attached to
-  no row, shuffled nowhere. Wrong answers are impossible; sparseness only
-  costs comparisons.
+  regions) split off and rescan the full station table, attached as a
+  single broadcast row (1-row crossJoin of a collect_list aggregate) —
+  plan size O(1) in |stations|, array materialized only for the
+  uncertified split. Wrong answers are impossible; sparseness only costs
+  comparisons.
+- **Null-GPS gated.** Missing/NaN coordinates yield NULL knn (array form)
+  or no rows (exploded form) — never a fabricated match.
 
 Geographic hot-cell skew cannot concentrate work here: there is no
 exchange keyed by anything geographic (it is a pure map stage).
@@ -49,9 +52,16 @@ def _xyz(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
 
 def _chord2_to_m(d2: Column) -> Column:
     """Squared chord → great-circle meters: 2R·asin(chord/2). Equivalent to
-    the haversine (core/validation.py:85-99): chord/2 == sqrt(hav)."""
-    return F.lit(2.0 * EARTH_R) * F.asin(
-        F.least(F.sqrt(d2) / F.lit(2.0), F.lit(1.0))
+    the haversine (core/validation.py:85-99): chord/2 == sqrt(hav).
+
+    NaN-gated: the Arrow kNN emits NaN d2 for GPS-less rows, and
+    F.least treats NaN as the largest value — without the guard a NaN
+    would turn into asin(1.0) = the antipodal distance (20,015 km)
+    instead of NULL."""
+    return F.when(
+        ~F.isnan(d2),
+        F.lit(2.0 * EARTH_R)
+        * F.asin(F.least(F.sqrt(d2) / F.lit(2.0), F.lit(1.0))),
     )
 
 
@@ -210,42 +220,33 @@ def stations_by_cell(stations: DataFrame, res: int, ring: int) -> DataFrame:
     )
 
 
-def all_stations_literal(stations: DataFrame) -> Column:
-    """Every station as a constant array expression (fallback candidates).
+def _gps_ok(lat: Column, lon: Column) -> Column:
+    """True iff both coordinates are present and non-NaN — the gate every
+    kNN output passes through so GPS-less rows get NULL enrichment instead
+    of a fabricated antipodal match (reference's no-GPS routing,
+    src/pipeline/utils/gps_utils.py:87-94)."""
+    return (
+        lat.isNotNull()
+        & lon.isNotNull()
+        & ~F.isnan(lat.cast("double"))
+        & ~F.isnan(lon.cast("double"))
+    )
 
-    Collecting a broadcastable dim table at plan time is the same data
-    movement a broadcast join performs; Catalyst constant-folds the
-    expression to a single Literal, so codegen references one array — it is
-    never copied per row nor attached to join output.
-    """
-    import math
 
-    rows = stations.collect()
-    cols = stations.columns
+def _safe_idx(i: Column) -> Column:
+    """NaN-safe winner-index cast: NaN (no GPS) → NULL int (ANSI-proof)."""
+    return F.when(~F.isnan(i), i).cast("int")
 
-    def fmt(v) -> str:
-        if v is None:
-            return "CAST(NULL AS DOUBLE)"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, int):
-            return f"{v}L"
-        if isinstance(v, float):
-            return f"CAST('{v!r}' AS DOUBLE)"
-        s = str(v).replace("'", "''")
-        return f"'{s}'"
 
-    parts = []
-    for r in rows:
-        rl, rp = math.radians(r["st_lon"]), math.radians(r["st_lat"])
-        fields = [f"'{c}', {fmt(r[c])}" for c in cols]
-        fields += [
-            f"'_sx', CAST('{math.cos(rp) * math.cos(rl)!r}' AS DOUBLE)",
-            f"'_sy', CAST('{math.cos(rp) * math.sin(rl)!r}' AS DOUBLE)",
-            f"'_sz', CAST('{math.sin(rp)!r}' AS DOUBLE)",
-        ]
-        parts.append("named_struct(" + ", ".join(fields) + ")")
-    return F.expr("array(" + ", ".join(parts) + ")")
+def all_stations_array(stations: DataFrame) -> DataFrame:
+    """ONE-row DataFrame holding every station (with unit-sphere coords) as
+    an array — the HOF fallback's candidate set, attached via a single-row
+    broadcast crossJoin. Plan size is O(1) regardless of |stations|
+    (replaces a constant-folded literal whose expression tree grew ∝
+    |stations| and blew up Catalyst analysis past ~10⁴ stations)."""
+    return stations.agg(
+        F.collect_list(_station_struct(stations)).alias("_all_st")
+    )
 
 
 def knn_station_array(
@@ -350,7 +351,7 @@ def knn_nearest(
     equi-join (codegen); nothing shuffles."""
     with_idx, st_indexed, _ = _knn_arrow_idx(images, stations, k=1, lon=lon, lat=lat)
     out = (
-        with_idx.withColumn("_st_idx", F.col("_knn_i")["i0"].cast("int"))
+        with_idx.withColumn("_st_idx", _safe_idx(F.col("_knn_i")["i0"]))
         .withColumn("dist_m", _chord2_to_m(F.col("_knn_i")["d0"]))
         .drop("_knn_i")
         .join(F.broadcast(st_indexed), "_st_idx", "left")
@@ -366,27 +367,37 @@ def _knn_arrow(
     lon: str,
     lat: str,
 ) -> DataFrame:
-    # array-of-payload form: winners reconstructed via a constant literal
-    # array (plan-size cost ∝ |stations|; prefer knn_nearest /
-    # knn_station_join for hot paths — they use a broadcast join instead)
+    # array-of-payload form: winner payloads re-attached via k broadcast
+    # hash joins against the indexed station table (plan size O(k·|cols|),
+    # independent of |stations|); GPS-less rows get a NULL array
     st_cols = stations.columns
-    with_idx, _, kk = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
-    lit_arr = all_stations_literal(stations)
+    with_idx, st_indexed, kk = _knn_arrow_idx(images, stations, k=k, lon=lon, lat=lat)
+    out = with_idx
+    for j in range(kk):
+        st_j = st_indexed.select(
+            F.col("_st_idx").alias(f"_si{j}"),
+            *[F.col(c).alias(f"_{c}__{j}") for c in st_cols],
+        )
+        out = out.withColumn(f"_si{j}", _safe_idx(F.col("_knn_i")[f"i{j}"])).join(
+            F.broadcast(st_j), f"_si{j}", "left"
+        )
     knn = F.array(
         *[
             F.struct(
                 _chord2_to_m(F.col("_knn_i")[f"d{j}"]).alias("dist_m"),
-                *[
-                    F.element_at(
-                        lit_arr, F.col("_knn_i")[f"i{j}"].cast("int") + 1
-                    )[c].alias(c)
-                    for c in st_cols
-                ],
+                *[F.col(f"_{c}__{j}").alias(c) for c in st_cols],
             )
             for j in range(kk)
         ]
     )
-    return with_idx.withColumn("knn", knn).drop("_knn_i")
+    drop = (
+        ["_knn_i"]
+        + [f"_si{j}" for j in range(kk)]
+        + [f"_{c}__{j}" for j in range(kk) for c in st_cols]
+    )
+    return out.withColumn(
+        "knn", F.when(_gps_ok(F.col(lat), F.col(lon)), knn)
+    ).drop(*drop)
 
 
 def _knn_hof(
@@ -400,7 +411,7 @@ def _knn_hof(
 ) -> DataFrame:
     st_cols = stations.columns
     by_cell = stations_by_cell(stations, res, ring)
-    fallback_arr = all_stations_literal(stations)
+    fallback_df = all_stations_array(stations)
 
     def keyed(cands: Column) -> Column:
         """array<struct<d2, station_id, idx>> — the cheap sort keys."""
@@ -445,19 +456,30 @@ def _knn_hof(
         * F.cos(F.radians(F.least(F.abs(F.col(lat)) + F.lit(ring * wdeg), F.lit(89.9))))
     )
     ring_keys = F.slice(F.array_sort(keyed(F.col("_ring_stations"))), 1, k)
-    certified = (F.size(ring_keys) >= k) & (
-        F.element_at(ring_keys, k)["d2"] <= _m_to_chord2(guard_m)
+    certified = _gps_ok(F.col(lat), F.col(lon)) & F.coalesce(
+        (F.size(ring_keys) >= k)
+        & (F.element_at(ring_keys, k)["d2"] <= _m_to_chord2(guard_m)),
+        F.lit(False),
     )
 
-    return (
-        joined.withColumn(
-            "knn",
-            F.when(certified, topk(F.col("_ring_stations"))).otherwise(
-                topk(fallback_arr)
-            ),
-        )
-        .drop("_cell", "_ring_stations", "_px", "_py", "_pz")
+    helper = ["_cell", "_ring_stations", "_px", "_py", "_pz"]
+    cert_df = joined.filter(certified).withColumn(
+        "knn", topk(F.col("_ring_stations"))
     )
+    # uncertified rows (sparse ring, or no GPS) rescan the full station set,
+    # attached as ONE broadcast row (crossJoin of a 1-row aggregate) — the
+    # array is only materialized for this (small) split, never row-copied
+    # across the whole probe, and the plan stays O(1) in |stations|
+    uncert_df = (
+        joined.filter(~certified)
+        .crossJoin(F.broadcast(fallback_df))
+        .withColumn(
+            "knn",
+            F.when(_gps_ok(F.col(lat), F.col(lon)), topk(F.col("_all_st"))),
+        )
+        .drop("_all_st")
+    )
+    return cert_df.unionByName(uncert_df).drop(*helper)
 
 
 def knn_station_join(
@@ -507,8 +529,12 @@ def knn_station_join(
     ).select(
         *[c for c in images.columns],
         F.col("_p")["rank"].cast("int").alias("rank"),
-        F.col("_p")["i"].cast("int").alias("_st_idx"),
+        _safe_idx(F.col("_p")["i"]).alias("_st_idx"),
         _chord2_to_m(F.col("_p")["d"]).alias("dist_m"),
+    ).filter(
+        # GPS-less probes have no winners — drop them (matches the hof
+        # strategy, whose posexplode of the NULL knn array emits no rows)
+        F.col("_st_idx").isNotNull()
     )
     joined = exploded.join(F.broadcast(st_indexed), "_st_idx", "left").drop("_st_idx")
     return joined.select(
