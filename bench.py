@@ -64,8 +64,8 @@ def run_default() -> None:
     n_images = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
     headline = [
-        "cell_encode", "pip_landcover", "knn_weather", "elevation",
-        "status_summary", "hourly_api_stats", "capture_assembly",
+        "cell_encode", "pip_landcover", "knn_weather", "knn_weather_dated",
+        "elevation", "status_summary", "hourly_api_stats", "capture_assembly",
         "dedup_checksum", "percentiles",
     ]
     times: dict[str, float] = {}

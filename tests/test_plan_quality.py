@@ -28,13 +28,15 @@ def test_flagship_probe_never_shuffles(spark):
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, SF),
         dem_tiles=dem_tiles_df(spark),
+        observations=geotables.weather_observations(spark, SF),
     )
     plan = _executed_plan(df)
     for line in plan.splitlines():
         ls = line.strip()
         if "Exchange" in ls and "BroadcastExchange" not in ls:
             assert "RoundRobinPartitioning" in ls, f"unexpected shuffle: {ls}"
-    assert plan.count("BroadcastHashJoin") >= 3  # PIP + station payload + DEM meta
+    # PIP + station payload + DEM meta + dated weather observations
+    assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1  # fused single Python crossing
 

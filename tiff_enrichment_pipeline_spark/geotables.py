@@ -154,6 +154,59 @@ def stations_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# weather observations — (station_id, obs_date)-keyed historical dimension
+# ---------------------------------------------------------------------------
+
+OBS_START = "1995-01-01"
+OBS_END = "2001-12-31"
+
+
+def weather_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical weather keyed (station_id, obs_date) — the time axis the
+    reference's enrichment schema declares (`weather_historical_date DATE`
+    + JSONB payload, scripts/create-tables.sql:129-132) and that the purely
+    spatial kNN join lacks. One row per station per day over the orders
+    date range; values are integer arithmetic in (station_id, day-number)
+    so DuckDB reproduces them bit-for-bit.
+
+    Scale note: |stations| × |days| — a *medium* dimension (10⁵ stations ×
+    10⁴ days ≈ 10⁹ rows at planetary scale). The composite key is uniform,
+    so the non-broadcast join strategy is a skew-free shuffle; at fixture
+    scale it broadcasts.
+    """
+    st = stations(spark, sf_dir).select("station_id")
+    days = F.sequence(
+        F.lit(OBS_START).cast("date"),
+        F.lit(OBS_END).cast("date"),
+        F.expr("interval 1 day"),
+    )
+    obs = st.select("station_id", F.explode(days).alias("obs_date"))
+    d = F.datediff(F.col("obs_date"), F.lit(OBS_START).cast("date"))
+    sid = F.col("station_id")
+    return obs.select(
+        "station_id",
+        "obs_date",
+        (((sid * 131 + d * 17) % 600) / F.lit(10.0) - 20.0).alias("obs_temp_c"),
+        (((sid * 37 + d * 11) % 250) / F.lit(10.0)).alias("obs_wind_ms"),
+        (((sid * 53 + d * 7) % 80) / F.lit(10.0)).alias("obs_precip_mm"),
+    )
+
+
+def weather_observations_sql() -> str:
+    """CTE body reproducing weather_observations in DuckDB (FROM supplier)."""
+    d = f"DATE_DIFF('day', DATE '{OBS_START}', obs_date)"
+    return f"""
+      SELECT s_suppkey AS station_id,
+             CAST(gs.g AS DATE) AS obs_date,
+             ((s_suppkey*131 + {d}*17)%600)/10.0 - 20.0 AS obs_temp_c,
+             ((s_suppkey*37 + {d}*11)%250)/10.0 AS obs_wind_ms,
+             ((s_suppkey*53 + {d}*7)%80)/10.0 AS obs_precip_mm
+      FROM supplier,
+           (SELECT UNNEST(generate_series(DATE '{OBS_START}', DATE '{OBS_END}', INTERVAL 1 DAY)) AS g) gs
+    """
+
+
+# ---------------------------------------------------------------------------
 # landcover (rect tiling; engine build side — oracle uses direct floor math)
 # ---------------------------------------------------------------------------
 

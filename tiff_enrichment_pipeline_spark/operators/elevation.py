@@ -57,9 +57,29 @@ def bilinear_sample_np(
 
 
 def tile_key(lon, lat):
-    tx = F.floor(lon / F.lit(DEM_TILE_DEG)).cast("int")
-    ty = F.floor(lat / F.lit(DEM_TILE_DEG)).cast("int")
+    # NaN-gated (ANSI cast NaN→int throws; NULL floor is already NULL)
+    tx = F.when(~F.isnan(lon), F.floor(lon / F.lit(DEM_TILE_DEG))).cast("int")
+    ty = F.when(~F.isnan(lat), F.floor(lat / F.lit(DEM_TILE_DEG))).cast("int")
     return tx, ty
+
+
+def _bilinear_vec(
+    g: np.ndarray, lon_v: np.ndarray, lat_v: np.ndarray, tx: int, ty: int
+) -> np.ndarray:
+    """Vectorized bilinear sample of one tile grid — the single source of
+    the math shared by the broadcast and partitioned strategies (and the
+    fused flagship UDF), so the strategies agree bit-for-bit."""
+    fx = (lon_v - tx * DEM_TILE_DEG) / DEM_STEP - 0.5
+    fy = (lat_v - ty * DEM_TILE_DEG) / DEM_STEP - 0.5
+    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
+    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
+    wx = np.clip(fx - i0, 0.0, 1.0)
+    wy = np.clip(fy - j0, 0.0, 1.0)
+    v00, v10 = g[j0, i0], g[j0, i0 + 1]
+    v01, v11 = g[j0 + 1, i0], g[j0 + 1, i0 + 1]
+    return (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) + wy * (
+        (1.0 - wx) * v01 + wx * v11
+    )
 
 
 def elevation_join(

@@ -360,6 +360,35 @@ def knn_nearest(
     return out
 
 
+def nearest_station_dated(
+    images: DataFrame,
+    stations: DataFrame,
+    observations: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "captured_at",
+    broadcast_obs: bool = True,
+) -> DataFrame:
+    """Composite spatio-temporal weather join: nearest station *spatially*,
+    then equi-join the station's observation for the capture date
+    (reference's `weather_historical_date DATE` + JSONB payload,
+    scripts/create-tables.sql:129-132).
+
+    images + nearest-station payload + dist_m + weather_historical_date +
+    obs_* columns. Plan: one Arrow 1-NN map stage, then an equi-join on the
+    uniform composite key (station_id, date) — broadcast when the
+    observation dimension fits (``broadcast_obs=True``); otherwise a
+    skew-free shuffle (dates and station ids are both uniform, geographic
+    hot cells never reach the key)."""
+    nn = knn_nearest(images, stations, lon=lon, lat=lat)
+    obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
+    if broadcast_obs:
+        obs = F.broadcast(obs)
+    return nn.withColumn(
+        "weather_historical_date", F.to_date(F.col(ts))
+    ).join(obs, ["station_id", "weather_historical_date"], "left")
+
+
 def _knn_arrow(
     images: DataFrame,
     stations: DataFrame,

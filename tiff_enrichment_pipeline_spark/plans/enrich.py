@@ -35,13 +35,23 @@ def enrich(
     stations: DataFrame,
     dem_tiles: DataFrame,
     k: int = 3,
+    observations: DataFrame | None = None,
+    ts: str = "captured_at",
 ) -> DataFrame:
     """Full enrichment of a geotagged image table.
 
     Output: input columns + cell_r7/9 (+ the PIP join's res-8 cell),
-    polygon_id, land_cover_class, land_cover_confidence, weather map,
+    polygon_id, land_cover_class, land_cover_confidence, weather struct,
     weather_station_id, elevation, elevation_source, elevation_accuracy_m,
     enrich_status.
+
+    ``observations``: optional (station_id, obs_date)-keyed historical
+    weather dimension (reference's `weather_historical_date DATE` + JSONB
+    payload, scripts/create-tables.sql:129-132). When given, the weather
+    struct carries the observation for to_date(``ts``) at the nearest
+    station (composite spatio-temporal join, broadcast at dim scale) and a
+    ``weather_historical_date`` column is added; when None, the station's
+    static values are used (round-1 behavior).
     """
     valid = gps_valid(F.col("lat"), F.col("lon"))
     with_gps = images.filter(valid)
@@ -59,17 +69,31 @@ def enrich(
     # payload (create-tables.sql:129) is schemaless, but per-row string map
     # keys cost real allocation bandwidth at 10^8 rows; a typed struct
     # serializes as 4 doubles (to_json on it reproduces the JSONB shape)
-    enriched = (
-        geo.withColumn(
-            "weather",
-            F.struct(
-                F.col("temp_c"), F.col("wind_ms"),
-                F.col("precip_mm"),
-                F.col("dist_m").alias("nearest_dist_m"),
-            ),
+    drop_cols = ["st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m"]
+    if observations is not None:
+        obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
+        geo = geo.withColumn(
+            "weather_historical_date", F.to_date(F.col(ts))
+        ).join(
+            F.broadcast(obs), ["station_id", "weather_historical_date"], "left"
         )
+        weather = F.struct(
+            F.col("obs_temp_c").alias("temp_c"),
+            F.col("obs_wind_ms").alias("wind_ms"),
+            F.col("obs_precip_mm").alias("precip_mm"),
+            F.col("dist_m").alias("nearest_dist_m"),
+        )
+        drop_cols += ["obs_temp_c", "obs_wind_ms", "obs_precip_mm"]
+    else:
+        weather = F.struct(
+            F.col("temp_c"), F.col("wind_ms"),
+            F.col("precip_mm"),
+            F.col("dist_m").alias("nearest_dist_m"),
+        )
+    enriched = (
+        geo.withColumn("weather", weather)
         .withColumnRenamed("station_id", "weather_station_id")
-        .drop("st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m")
+        .drop(*drop_cols)
         .withColumn("enrich_status", F.lit("enriched"))
     )
 

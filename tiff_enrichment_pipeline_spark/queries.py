@@ -139,6 +139,52 @@ def q_knn_weather_sql() -> str:
     FROM ranked WHERE rank <= 3"""
 
 
+def q_knn_weather_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite spatio-temporal weather join (J6 + the reference's
+    `weather_historical_date DATE`, create-tables.sql:129-132): nearest
+    station spatially, that station's observation for to_date(captured_at)."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = geotables.images_geo(spark, sf_dir).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, sf_dir)
+    obs = geotables.weather_observations(spark, sf_dir)
+    out = nearest_station_dated(img, st, obs)
+    return out.select(
+        "image_id",
+        "station_id",
+        F.date_format("weather_historical_date", "yyyy-MM-dd").alias(
+            "weather_historical_date"
+        ),
+        F.round("obs_temp_c", 4).alias("obs_temp_c"),
+        F.round("obs_wind_ms", 4).alias("obs_wind_ms"),
+        F.round("obs_precip_mm", 4).alias("obs_precip_mm"),
+    )
+
+
+def q_knn_weather_dated_sql() -> str:
+    d = haversine_m_sql("i.lat", "i.lon", "s.st_lat", "s.st_lon")
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    stations AS ({geotables.stations_sql()}),
+    obs AS ({geotables.weather_observations_sql()}),
+    nn AS (
+      SELECT i.image_id, i.captured_at, s.station_id,
+             ROW_NUMBER() OVER (PARTITION BY i.image_id ORDER BY {d} ASC, s.station_id ASC) AS rn
+      FROM images i CROSS JOIN stations s
+    )
+    SELECT nn.image_id, nn.station_id,
+           STRFTIME(CAST(nn.captured_at AS DATE), '%Y-%m-%d') AS weather_historical_date,
+           ROUND(o.obs_temp_c, 4) AS obs_temp_c,
+           ROUND(o.obs_wind_ms, 4) AS obs_wind_ms,
+           ROUND(o.obs_precip_mm, 4) AS obs_precip_mm
+    FROM nn LEFT JOIN obs o
+      ON o.station_id = nn.station_id AND o.obs_date = CAST(nn.captured_at AS DATE)
+    WHERE nn.rn = 1"""
+
+
 def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster↔vector elevation tile join + bilinear sample (J7;
     create-tables.sql:122-126). NULL off-DEM (outside NL box)."""
@@ -584,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_encode": q_cell_encode,
     "pip_landcover": q_pip_landcover,
     "knn_weather": q_knn_weather,
+    "knn_weather_dated": q_knn_weather_dated,
     "elevation": q_elevation,
     "haversine_pairs": q_haversine_station_pairs,
     "bbox_filter": q_bbox_filter,
@@ -606,6 +653,7 @@ ORACLES: dict[str, str] = {
     "cell_encode": q_cell_encode_sql(),
     "pip_landcover": q_pip_landcover_sql(),
     "knn_weather": q_knn_weather_sql(),
+    "knn_weather_dated": q_knn_weather_dated_sql(),
     "elevation": q_elevation_sql(),
     "haversine_pairs": q_haversine_station_pairs_sql(),
     "bbox_filter": q_bbox_filter_sql(),
@@ -1152,12 +1200,16 @@ def q_enrich_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, sf_dir),
         dem_tiles=dem_tiles_df(spark),
+        observations=geotables.weather_observations(spark, sf_dir),
     )
     return out.select(
         "image_id",
         "land_cover_class",
         F.round("land_cover_confidence", 6).alias("land_cover_confidence"),
         "weather_station_id",
+        F.date_format("weather_historical_date", "yyyy-MM-dd").alias(
+            "weather_historical_date"
+        ),
         F.round(F.col("weather")["temp_c"], 4).alias("temp_c"),
         F.round("elevation", 4).alias("elevation"),
         "elevation_source",
@@ -1177,8 +1229,9 @@ def q_enrich_full_sql() -> str:
     )
     return f"""WITH images AS ({geotables.images_geo_sql()}),
     stations AS ({geotables.stations_sql()}),
+    obs AS ({geotables.weather_observations_sql()}),
     nn AS (
-      SELECT i.image_id, s.station_id, s.temp_c,
+      SELECT i.image_id, i.captured_at, s.station_id,
              ROW_NUMBER() OVER (PARTITION BY i.image_id ORDER BY {d} ASC, s.station_id ASC) AS rn
       FROM images i CROSS JOIN stations s
     )
@@ -1186,11 +1239,15 @@ def q_enrich_full_sql() -> str:
            {cls} AS land_cover_class,
            ROUND({conf}, 6) AS land_cover_confidence,
            nn.station_id AS weather_station_id,
-           ROUND(nn.temp_c, 4) AS temp_c,
+           STRFTIME(CAST(nn.captured_at AS DATE), '%Y-%m-%d') AS weather_historical_date,
+           ROUND(o.obs_temp_c, 4) AS temp_c,
            CASE WHEN {in_dem} THEN ROUND({elev}, 4) END AS elevation,
            CASE WHEN {in_dem} THEN {src} END AS elevation_source,
            'enriched' AS enrich_status
-    FROM images i JOIN nn ON nn.image_id = i.image_id AND nn.rn = 1"""
+    FROM images i
+    JOIN nn ON nn.image_id = i.image_id AND nn.rn = 1
+    LEFT JOIN obs o
+      ON o.station_id = nn.station_id AND o.obs_date = CAST(nn.captured_at AS DATE)"""
 
 
 def q_cell_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
