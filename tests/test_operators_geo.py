@@ -125,6 +125,38 @@ def test_elevation_bilinear_golden(spark):
     assert out[3]["elevation"] is None  # off-DEM
 
 
+def test_elevation_partitioned_matches_broadcast(spark):
+    """broadcast_dem=False (co-partitioned cogroup, planetary-DEM path) must
+    agree with the broadcast strategy value-for-value — including off-DEM
+    NULLs and null-GPS rows — and shuffle the probe exactly once on the
+    uniform (tile, salt) key."""
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001").select(
+        "image_id", "lon", "lat"
+    )
+    bad = spark.createDataFrame(
+        [(-1, None, None)], "image_id long, lon double, lat double"
+    )
+    img = img.unionByName(bad)
+    dem = dem_tiles_df(spark)
+    cols = ["image_id", "elevation", "elevation_source", "elevation_accuracy_m"]
+    a = {r["image_id"]: tuple(r[c] for c in cols[1:])
+         for r in elevation_join(img, dem, broadcast_dem=True).select(cols).collect()}
+    b = {r["image_id"]: tuple(r[c] for c in cols[1:])
+         for r in elevation_join(img, dem, broadcast_dem=False).select(cols).collect()}
+    assert a == b
+    assert b[-1] == (None, None, None)
+    plan = (
+        elevation_join(img, dem, broadcast_dem=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    probe_shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "tile_x" in l
+    ]
+    assert len(probe_shuffles) == 2  # probe + (small) DEM side, nothing else
+    assert "_salt" in probe_shuffles[0]  # skew salt is in the shuffle key
+
+
 def test_polygon_cover_is_superset(spark):
     from tiff_enrichment_pipeline_spark.operators.pip_join import polygon_cell_cover
 

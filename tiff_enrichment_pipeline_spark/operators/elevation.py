@@ -104,10 +104,7 @@ def elevation_join(
     per-tile ``applyInPandas`` instead (grid crosses once per tile-group).
     """
     if not broadcast_dem:
-        raise NotImplementedError(
-            "partitioned-DEM strategy not wired yet; broadcast covers any "
-            "regional DEM (NL at 0.1° = 1247 tiles ≈ 5 MiB)"
-        )
+        return _elevation_partitioned(images, dem_tiles, lon=lon, lat=lat)
     tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
     grids = {
         (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
@@ -143,16 +140,8 @@ def elevation_join(
                     g = g_by_tile.get(tile)
                     if g is None:
                         continue
-                    fx = (lon_v[rows] - tile[0] * DEM_TILE_DEG) / DEM_STEP - 0.5
-                    fy = (lat_v[rows] - tile[1] * DEM_TILE_DEG) / DEM_STEP - 0.5
-                    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
-                    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
-                    wx = np.clip(fx - i0, 0.0, 1.0)
-                    wy = np.clip(fy - j0, 0.0, 1.0)
-                    v00, v10 = g[j0, i0], g[j0, i0 + 1]
-                    v01, v11 = g[j0 + 1, i0], g[j0 + 1, i0 + 1]
-                    out[rows] = (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) + wy * (
-                        (1.0 - wx) * v01 + wx * v11
+                    out[rows] = _bilinear_vec(
+                        g, lon_v[rows], lat_v[rows], tile[0], tile[1]
                     )
             yield pd.Series(out)
 
@@ -169,5 +158,104 @@ def elevation_join(
         F.when(
             F.col("elevation_source").isNotNull(),
             _sample(F.col(lon), F.col(lat), F.col("tile_x"), F.col("tile_y")),
+        ),
+    )
+
+
+def _elevation_partitioned(
+    images: DataFrame,
+    dem_tiles: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: int = 8,
+) -> DataFrame:
+    """Planetary-DEM strategy: co-partition probe and DEM on the tile key,
+    per-tile-group cogrouped ``applyInPandas`` bilinear.
+
+    The DEM never collects to the driver and never broadcasts — a global
+    30 m DEM is TBs (reference sources usgs_3dep/nasa_srtm,
+    scripts/init-db.sql:59,62). Instead both sides shuffle once on
+    ``(tile_x, tile_y, salt)``; each cogroup sees one tile's probes plus
+    that tile's single grid row, so the 4 KiB grid crosses to Python once
+    per (tile, salt) — never per probe row.
+
+    ``salt`` defuses probe-side hot tiles (the fixture pins 20% of images
+    into a ~0.02° cluster = ONE 0.1° tile): probes spread uniformly over
+    ``salt`` sub-groups via a hash of the coordinates; the DEM side
+    replicates each grid row ×salt (4 KiB × salt — negligible) so every
+    sub-group still pairs with its tile. Output values are bit-identical
+    to the broadcast strategy (shared ``_bilinear_vec``).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tx, ty = tile_key(F.col(lon), F.col(lat))
+    probe = (
+        images.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
+        )
+    )
+    dem_s = dem_tiles.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+
+    out_schema = StructType(
+        [f for f in probe.schema.fields if f.name != "_salt"]
+        + [
+            StructField("elevation", DoubleType()),
+            StructField("elevation_source", StringType()),
+            StructField("elevation_accuracy_m", DoubleType()),
+        ]
+    )
+    probe_cols = [f.name for f in probe.schema.fields if f.name != "_salt"]
+
+    def _sample_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left[probe_cols].copy()
+        n = len(out)
+        if right.empty:
+            out["elevation"] = np.full(n, np.nan)
+            out["elevation_source"] = pd.Series([None] * n, dtype="object")
+            out["elevation_accuracy_m"] = np.full(n, np.nan)
+            return out
+        r = right.iloc[0]
+        g = (
+            np.frombuffer(r["grid"], dtype="<f4")
+            .reshape(DEM_N, DEM_N)
+            .astype(np.float64)
+        )
+        lon_v = left[lon].to_numpy(np.float64, na_value=np.nan)
+        lat_v = left[lat].to_numpy(np.float64, na_value=np.nan)
+        out["elevation"] = _bilinear_vec(
+            g, lon_v, lat_v, int(r["tile_x"]), int(r["tile_y"])
+        )
+        out["elevation_source"] = r["source"]
+        out["elevation_accuracy_m"] = float(r["accuracy_m"])
+        return out
+
+    grouped = probe.groupBy("tile_x", "tile_y", "_salt").cogroup(
+        dem_s.groupBy("tile_x", "tile_y", "_salt")
+    )
+    result = grouped.applyInPandas(_sample_group, out_schema)
+    # NaN → NULL off-DEM (and for GPS-less rows), matching the broadcast
+    # strategy's F.when(...) NULL semantics
+    return result.withColumn(
+        "elevation",
+        F.when(
+            F.col("elevation_source").isNotNull()
+            & ~F.isnan(F.col("elevation")),
+            F.col("elevation"),
+        ),
+    ).withColumn(
+        "elevation_accuracy_m",
+        F.when(
+            ~F.isnan(F.col("elevation_accuracy_m")),
+            F.col("elevation_accuracy_m"),
         ),
     )

@@ -214,6 +214,20 @@ def q_elevation_sql() -> str:
     FROM images"""
 
 
+def q_elevation_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planetary-DEM strategy (J7, broadcast_dem=False: co-partitioned
+    cogroup applyInPandas) against the SAME closed-form oracle as
+    `elevation` — proves the two strategies are value-identical."""
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "lon", "lat")
+    out = elevation_join(img, dem_tiles_df(spark), broadcast_dem=False)
+    return out.select(
+        "image_id",
+        F.round("elevation", 4).alias("elevation"),
+        "elevation_source",
+        "elevation_accuracy_m",
+    )
+
+
 def q_haversine_station_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance join helper (J8/M6: ST_Distance → haversine column expr,
     init-db.sql:157-170): pairwise distances of stations < 30 km."""
@@ -632,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_weather": q_knn_weather,
     "knn_weather_dated": q_knn_weather_dated,
     "elevation": q_elevation,
+    "elevation_partitioned": q_elevation_partitioned,
     "haversine_pairs": q_haversine_station_pairs,
     "bbox_filter": q_bbox_filter,
     "filename_classify": q_filename_classify,
@@ -655,6 +670,7 @@ ORACLES: dict[str, str] = {
     "knn_weather": q_knn_weather_sql(),
     "knn_weather_dated": q_knn_weather_dated_sql(),
     "elevation": q_elevation_sql(),
+    "elevation_partitioned": q_elevation_sql(),
     "haversine_pairs": q_haversine_station_pairs_sql(),
     "bbox_filter": q_bbox_filter_sql(),
     "filename_classify": q_filename_classify_sql(),
