@@ -16,8 +16,17 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/enriched_out"
+    from tiff_enrichment_pipeline_spark.config import EnrichConfig
+
+    # validate BEFORE any Spark work: a bad config fails at submit time
+    # with every violation listed (reference core/config.py:141-152)
+    cfg = EnrichConfig.from_dict(
+        {
+            **({"sf_dir": sys.argv[1]} if len(sys.argv) > 1 else {}),
+            **({"output_dir": sys.argv[2]} if len(sys.argv) > 2 else {}),
+        }
+    )
+    sf_dir, out_dir = cfg.sf_dir, cfg.output_dir
 
     from tiff_enrichment_pipeline_spark import geotables
     from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
@@ -34,6 +43,12 @@ def main() -> None:
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, sf_dir),
         dem_tiles=dem_tiles_df(spark),
+        k=cfg.knn_k,
+        observations=(
+            geotables.weather_observations(spark, sf_dir)
+            if cfg.use_observations
+            else None
+        ),
     )
     result.write.mode("overwrite").parquet(f"{out_dir}/enriched")
     out = spark.read.parquet(f"{out_dir}/enriched")

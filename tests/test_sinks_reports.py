@@ -116,3 +116,75 @@ def test_per_op_metric_summary(spark):
     for r in summary:
         assert r["peak_ms"] >= r["avg_ms"]
         assert 0 <= r["n_errors"] <= r["n_ops"]
+
+
+def test_write_images_partition_layout_prunes(spark, tmp_path):
+    """write_images must lay out parquet partitioned by (p_bucket, p_cell)
+    so a cell-range read prunes partitions (visible as PartitionFilters),
+    and read_images must hide the physical p_* columns again."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark import geotables, grid
+    from tiff_enrichment_pipeline_spark.sources.images import (
+        read_images,
+        write_images,
+    )
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001").limit(500)
+    path = str(tmp_path / "img_tbl")
+    write_images(img, path, mode="overwrite", buckets=4)
+
+    back = read_images(spark, path)
+    assert sorted(back.columns) == sorted(img.columns)  # p_* hidden
+    assert back.count() == 500
+
+    # res-4 cell containing NL: ix=floor((5+180)/360*16)=8, iy=floor((52+90)/180*8)=6
+    nl_cell = 4 * (2**56) + 8 * (2**28) + 6
+    raw = spark.read.parquet(path).filter(F.col("p_cell") == nl_cell)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans and "p_cell" in scans[0]
+    assert raw.count() > 0
+
+
+def test_upsert_cleans_tmp_dirs(spark, tmp_path):
+    """upsert_by_key's parquet fallback must leave no __merge_tmp /
+    __merge_old directories and must not lose rows across the swap."""
+    import os
+
+    from tiff_enrichment_pipeline_spark.sources.images import upsert_by_key
+
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "image_id long, v string"
+    ).write.parquet(target)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "image_id long, v string")
+    upsert_by_key(spark, target, upd, key="image_id")
+    got = {
+        r["image_id"]: r["v"] for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c"}
+    siblings = os.listdir(tmp_path)
+    assert not any("__merge" in s for s in siblings), siblings
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    """A3 scale path: percentile_approx(accuracy=10000) must agree with the
+    exact variant within sketch error on the fixture (rank error ≤ n/1e4 —
+    effectively exact at sf0.001)."""
+    from tiff_enrichment_pipeline_spark.queries import (
+        q_percentiles,
+        q_percentiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["event_type"]: (r["p25"], r["p50"], r["p75"])
+             for r in q_percentiles(spark, sf).collect()}
+    approx = {r["event_type"]: (r["p25"], r["p50"], r["p75"])
+              for r in q_percentiles_approx(spark, sf).collect()}
+    assert exact.keys() == approx.keys()
+    for et in exact:
+        for a, b in zip(exact[et], approx[et]):
+            # percentile_approx returns an observed value near the exact
+            # interpolated quantile; tolerance = a small value-space band
+            assert abs(a - b) <= max(0.5, 0.01 * abs(a)), (et, exact[et], approx[et])

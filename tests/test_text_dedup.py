@@ -152,3 +152,63 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     }
     hits = sum(1 for kk, v in brute.items() if part.get(kk) == v)
     assert hits >= 0.6 * len(brute)  # decent recall at nprobe=3/8
+
+
+def test_ivf_no_full_corpus_collect(spark, monkeypatch):
+    """The IVF quantizer must train on a BOUNDED sample: no driver collect
+    during plan construction may return more rows than sample_n (the
+    100 TB guard — a full-corpus collect would OOM the driver)."""
+    from tiff_enrichment_pipeline_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    SparkDF = type(df)  # the concrete (classic) DataFrame class
+    sizes = []
+    orig = SparkDF.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", counting_collect)
+    plan = ivf_topk(df, df, k=2, n_lists=4, nprobe=4, sample_n=32)
+    assert sizes and max(sizes) <= 32  # only the bounded quantizer sample
+    monkeypatch.setattr(SparkDF, "collect", orig)
+    assert plan.count() > 0
+
+
+def test_ivf_pruned_index_matches_inmemory(spark, tmp_path):
+    """write_ivf_index + ivf_probe_pruned must (a) agree with ivf_topk at
+    nprobe=n_lists, and (b) show PartitionFilters on the index scan when
+    probing a subset of lists (the partition-pruning scale path)."""
+    from tiff_enrichment_pipeline_spark.operators.ann import (
+        ivf_probe_pruned,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, n_lists=8, sample_n=4096)
+
+    full_mem = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, df, k=2, n_lists=8, nprobe=8).collect()
+    }
+    full_idx = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_probe_pruned(df, path, k=2, nprobe=8).collect()
+    }
+    assert full_idx == full_mem
+
+    one_q = df.filter(F.col("vec_id") == 0)
+    pruned = ivf_probe_pruned(one_q, path, k=2, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "ivf_list" in scan[0]
+    assert pruned.count() > 0

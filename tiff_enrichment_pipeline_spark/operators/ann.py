@@ -228,27 +228,35 @@ def ivf_assign_df(
     return vectors.withColumn("ivf_list", _assign(F.col(vec_col)))
 
 
-def ivf_topk(
-    queries: DataFrame,
+def train_centroids(
     corpus: DataFrame,
-    k: int = 5,
-    n_lists: int = 16,
-    nprobe: int = 4,
+    n_lists: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: probe the ``nprobe`` nearest IVF lists, exact
-    cosine rank within them (GEMM per batch). recall→1 as nprobe→n_lists."""
-    from pyspark.sql import Window
+    sample_n: int = 4096,
+) -> np.ndarray:
+    """Coarse quantizer trained on a BOUNDED deterministic sample.
 
-    ids, C_corpus = _corpus_matrix(corpus, id_col, vec_col)
-    cents = _kmeans_np(C_corpus, n_lists)
-    corpus_a = ivf_assign_df(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "ivf_list"
+    The sample is the ``sample_n`` corpus rows with the smallest
+    ``xxhash64(id)`` — a distributed top-K (each partition keeps its local
+    top-``sample_n``; the driver merges), so driver memory is O(sample_n),
+    never O(|corpus|), and the set is reproducible across runs/sessions
+    (no RNG, id tie-break). k-means itself is the deterministic
+    fixed-iteration variant."""
+    sampled = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
     )
+    M = np.array([r[vec_col] for r in sampled], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return _kmeans_np(M / norms[:, None], n_lists)
 
-    sc = queries.sparkSession.sparkContext
-    bc = sc.broadcast(cents)
+
+def _probes_udf(cents: np.ndarray, nprobe: int, spark_context):
+    bc = spark_context.broadcast(cents)
 
     @F.pandas_udf("array<int>")
     def _probes(vec: pd.Series) -> pd.Series:
@@ -261,9 +269,16 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
-    qp = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).withColumn("ivf_list", F.explode(_probes(F.col("qv"))))
+    return _probes
+
+
+def _ivf_rank(qp: DataFrame, corpus_a: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared tail: equi-join probes<->lists, exact cosine rank within lists.
+
+    No forced broadcast — ``ivf_list`` is a uniform-ish low-cardinality
+    key; Catalyst/AQE picks broadcast when the (pruned) corpus side fits
+    and a skew-aware shuffle join otherwise."""
+    from pyspark.sql import Window
 
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
@@ -277,7 +292,7 @@ def ivf_topk(
         F.lit(0.0), lambda acc, x: acc + x))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
-        qp.join(F.broadcast(corpus_a), "ivf_list")
+        qp.join(corpus_a, "ivf_list")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cosine", dot / (nq * nc))
         .withColumn("rank", F.row_number().over(w))
@@ -289,3 +304,96 @@ def ivf_topk(
             "cosine",
         )
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest IVF lists, exact
+    cosine rank within them (GEMM per batch). recall->1 as nprobe->n_lists.
+
+    The quantizer trains on a bounded deterministic sample
+    (``train_centroids``) — NO full-corpus driver collect — and list
+    assignment is distributed (``ivf_assign_df``). For a persisted,
+    partition-pruned index, see ``write_ivf_index``/``ivf_probe_pruned``."""
+    cents = train_centroids(corpus, n_lists, id_col, vec_col, sample_n)
+    corpus_a = ivf_assign_df(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "ivf_list"
+    )
+    probes = _probes_udf(cents, nprobe, queries.sparkSession.sparkContext)
+    qp = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("ivf_list", F.explode(probes(F.col("qv"))))
+    return _ivf_rank(qp, corpus_a, k, id_col)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+) -> np.ndarray:
+    """Persist the corpus as an IVF index: parquet PARTITIONED BY ivf_list
+    (one directory per list -> probes prune to nprobe/n_lists of the data at
+    scan time) + the centroid matrix at ``<path>/_centroids``. Returns the
+    centroids."""
+    cents = train_centroids(corpus, n_lists, id_col, vec_col, sample_n)
+    assigned = ivf_assign_df(corpus, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
+        f"{path}/index"
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "ivf_list int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def ivf_probe_pruned(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index with PARTITION PRUNING: the
+    probe set of this query batch (<= n_lists ints — a driver action bounded
+    by n_lists, never by |corpus|) becomes an ``ivf_list IN (...)`` filter
+    that Spark turns into PartitionFilters on the scan, so only the probed
+    list directories are read."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["ivf_list"])],
+        dtype=np.float64,
+    )
+    probes = _probes_udf(cents, nprobe, spark.sparkContext)
+    qp = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("ivf_list", F.explode(probes(F.col("qv"))))
+    lists = sorted(
+        r["ivf_list"] for r in qp.select("ivf_list").distinct().collect()
+    )
+    corpus_a = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("ivf_list").isin(lists))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.col("ivf_list").cast("int").alias("ivf_list"),
+        )
+    )
+    return _ivf_rank(qp, corpus_a, k, id_col)

@@ -621,6 +621,21 @@ def q_percentiles_sql() -> str:
     FROM events GROUP BY event_type"""
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE path for A3 at scale: percentile_approx (Greenwald-Khanna
+    sketch — bounded memory per group, mergeable partials; accuracy
+    parameter 10000 ⇒ rank error ≤ n/10000). `percentiles` (exact, full
+    per-group materialization) stays the oracle/verification variant; this
+    is what a 100 TB run should call. No SQL oracle (sketch results are
+    implementation-defined); accuracy vs exact is pinned in pytest."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile_approx(value, 0.25, 10000)"), 4).alias("p25"),
+        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("percentile_approx(value, 0.75, 10000)"), 4).alias("p75"),
+    )
+
+
 def q_union_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of scan lists (U1, main.py:66-67) + distinct: error ∪ purchase
     events with a shared projection."""
@@ -661,6 +676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "generated_columns": q_generated_columns,
     "percentiles": q_percentiles,
+    "percentiles_approx": q_percentiles_approx,  # no oracle: sketch-defined
     "union_glob": q_union_glob,
 }
 

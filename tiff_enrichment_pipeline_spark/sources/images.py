@@ -42,19 +42,67 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_images(spark: SparkSession, location: str) -> DataFrame:
     """``location`` = Iceberg table name (catalog.db.table) or a parquet
-    path — negotiated by what the runtime supports."""
+    path — negotiated by what the runtime supports. Physical partition
+    columns (``p_*``, written by write_images) are dropped so the logical
+    schema is layout-independent; filters on lat/lon/image_id still prune
+    because the p_* values are derived from them at write time."""
     if "/" not in location and iceberg_available(spark):
         return spark.read.table(location)
-    return spark.read.parquet(location)
+    df = spark.read.parquet(location)
+    return df.drop(*[c for c in df.columns if c.startswith("p_")])
 
 
-def write_images(df: DataFrame, location: str, mode: str = "append") -> None:
+# coarse geo partition prefix: res-4 cell ≈ 22.5° — wide tiles keep
+# directory count bounded (≤ buckets × ~128 populated cells worldwide)
+# while still pruning continent-scale predicates
+_PART_CELL_RES = 4
+
+
+def write_images(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    buckets: int = 16,
+    partition: bool = True,
+) -> None:
+    """Write the image table with the layout the reads depend on at 100 TB:
+    ``bucket(N, image_id)`` for uniform write distribution + a coarse cell
+    prefix for geo partition pruning (SURVEY §7.0; reference keeps a flat
+    PostGIS table, scripts/create-tables.sql:118-161 — bucketed layout is
+    the Spark-native replacement).
+
+    Iceberg: ``PARTITIONED BY (bucket(N, image_id))`` on create; appends
+    inherit the table layout. Parquet fallback: derived physical columns
+    ``p_bucket`` (pmod of xxhash64(image_id)) and, when lon/lat exist,
+    ``p_cell`` (res-4 cell id) via ``partitionBy`` — read_images drops
+    them again."""
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     if "/" not in location and iceberg_available(spark):
         writer = df.writeTo(location)
-        (writer.append() if mode == "append" else writer.createOrReplace())
+        if mode == "append":
+            writer.append()
+        else:
+            if partition:
+                writer = writer.partitionedBy(F.bucket(buckets, F.col("image_id")))
+            writer.createOrReplace()
         return
-    df.write.mode(mode).parquet(location)
+    if not partition:
+        df.write.mode(mode).parquet(location)
+        return
+    from tiff_enrichment_pipeline_spark import grid
+
+    out = df.withColumn(
+        "p_bucket", F.pmod(F.xxhash64(F.col("image_id")), F.lit(buckets))
+    )
+    part_cols = ["p_bucket"]
+    if "lon" in df.columns and "lat" in df.columns:
+        out = out.withColumn(
+            "p_cell", grid.cell_of(F.col("lon"), F.col("lat"), _PART_CELL_RES)
+        )
+        part_cols.append("p_cell")
+    out.write.mode(mode).partitionBy(*part_cols).parquet(location)
 
 
 def upsert_by_key(
@@ -73,11 +121,24 @@ def upsert_by_key(
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
         return
+    import shutil
+
     existing = spark.read.parquet(target_location)
     merged = existing.join(updates.select(key), key, "left_anti").unionByName(
         updates
     )
     tmp = target_location.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(target_location)
+    old = target_location.rstrip("/") + "__merge_old"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        # swap via two directory renames (cheap metadata ops), NOT a Spark
+        # overwrite of the target (which deletes the target before the
+        # rewrite — a crash there loses the table). The window between the
+        # two renames is the only non-atomic instant; a crash there leaves
+        # the full table at __merge_old for manual recovery, never lost.
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(target_location, old)
+        shutil.move(tmp, target_location)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
