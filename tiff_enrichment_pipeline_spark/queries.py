@@ -1088,6 +1088,88 @@ def q_rollup_status_sql() -> str:
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
 
 
+def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to rollup_status (SURVEY §2.6 stretch): counts over
+    every (status, priority) subset with the grouping bitmask — one pass,
+    partial-agg friendly (Spark expands grouping sets BEFORE the shuffle,
+    so it stays a single skew-free hash aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def q_cube_status_sql() -> str:
+    return """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming equivalence (SURVEY §2.9): the hourly
+    aggregation run as a REAL stream (file source → watermark → tumbling
+    window → memory sink, Trigger.AvailableNow) whose final state must
+    equal the batch SQL — the batch/streaming-parity guarantee, now under
+    the driver's value-level oracle instead of pytest-only."""
+    import tempfile
+    import uuid
+
+    # watermarks require TIMESTAMP (the testdata is TIMESTAMP_NTZ; the
+    # session is pinned UTC so the cast is value-preserving)
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_eq_")
+    events.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(f"{tmp}/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    qname = f"stream_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        # complete mode: every window in the final state (append would hold
+        # back the last, not-yet-finalized watermark window)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    q.awaitTermination()
+    # hour as a STRING: the stream's window bound is tz-aware TIMESTAMP
+    # while the oracle's date_trunc is naive — stringifying both sides
+    # (session tz pinned UTC) sidesteps canonicalizer tz semantics
+    return spark.table(qname).select(
+        F.date_format(F.col("w")["start"], "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def q_streaming_hourly_sql() -> str:
+    return """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2"""
+
+
 def q_exif_altitude_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF timestamp + altitude-string parsing (M12/P6,
     gps_utils.py:73-86) over strings built from supplier rows."""
@@ -1147,6 +1229,8 @@ _B3_QUERIES = {
     "first_line_per_order": q_first_line_per_order,
     "value_histogram": q_value_histogram,
     "rollup_status": q_rollup_status,
+    "cube_status": q_cube_status,
+    "streaming_hourly": q_streaming_hourly,
     "exif_altitude_parse": q_exif_altitude_parse,
     "to_json_row": q_to_json_row,
 }
@@ -1156,6 +1240,8 @@ _B3_ORACLES = {
     "first_line_per_order": q_first_line_per_order_sql(),
     "value_histogram": q_value_histogram_sql(),
     "rollup_status": q_rollup_status_sql(),
+    "cube_status": q_cube_status_sql(),
+    "streaming_hourly": q_streaming_hourly_sql(),
     "exif_altitude_parse": q_exif_altitude_parse_sql(),
     "to_json_row": q_to_json_row_sql(),
 }
