@@ -174,7 +174,13 @@ def weather_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the non-broadcast join strategy is a skew-free shuffle; at fixture
     scale it broadcasts.
     """
-    st = stations(spark, sf_dir).select("station_id")
+    # the driver parquet is one row group → without a repartition the
+    # |stations|×|days| explode would run on ONE task
+    st = (
+        stations(spark, sf_dir)
+        .select("station_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     days = F.sequence(
         F.lit(OBS_START).cast("date"),
         F.lit(OBS_END).cast("date"),
