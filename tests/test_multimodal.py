@@ -1,0 +1,104 @@
+"""Multimodal binary-column operators (build brief): resize /
+feature-extract / frame-sample / audio over mapInPandas — real plumbing,
+real math for raw formats, NotImplementedError for absent codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark.raster import codec
+from tiff_enrichment_pipeline_spark.raster.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    frame_sample,
+    image_features_np,
+    resize_bilinear_np,
+    resize_images,
+)
+
+
+def _img(seed: int, w: int = 32, h: int = 24) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 60000, size=(h, w), dtype=np.uint16)
+
+
+@pytest.fixture()
+def images(spark):
+    rows = [
+        (i, codec.encode_raw_u16(_img(i)), 32, 24, "raw-u16") for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id long, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_resize_matches_numpy_oracle(spark, images):
+    out = {r["image_id"]: r for r in resize_images(images, 16, 12).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        r = out[i]
+        assert (r["w"], r["h"], r["fmt"]) == (16, 12, "raw-u16")
+        got = codec.decode_raw_u16(bytes(r["bytes"]), 16, 12)
+        want = resize_bilinear_np(_img(i), 16, 12)
+        assert np.array_equal(got, want)
+
+
+def test_image_features_match_numpy(spark, images):
+    out = {r["image_id"]: r for r in extract_image_features(images).collect()}
+    for i in range(12):
+        m, s, p95, e = image_features_np(_img(i))
+        assert out[i]["px_mean"] == pytest.approx(m)
+        assert out[i]["px_std"] == pytest.approx(s)
+        assert out[i]["px_p95"] == pytest.approx(p95)
+        assert out[i]["edge_energy"] == pytest.approx(e)
+
+
+def test_frame_sample_every_n(spark):
+    n_frames, w, h = 10, 8, 6
+    vids = []
+    for v in range(3):
+        frames = np.stack([_img(100 * v + f, w, h) for f in range(n_frames)])
+        vids.append((v, frames.astype("<u2").tobytes(), w, h, n_frames, "rawvid-u16"))
+    df = spark.createDataFrame(
+        vids,
+        "video_id long, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = frame_sample(df, every_n=3).collect()
+    # frames 0,3,6,9 per video
+    assert len(out) == 3 * 4
+    by_key = {(r["video_id"], r["frame_idx"]): r for r in out}
+    got = codec.decode_raw_u16(bytes(by_key[(1, 3)]["bytes"]), w, h)
+    assert np.array_equal(got, _img(103, w, h))
+    # absent codec → NotImplementedError raised inside the task
+    bad = spark.createDataFrame(
+        [(9, b"\x00\x00", 1, 1, 1, "h264")],
+        "video_id long, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    with pytest.raises(Exception, match="h264"):
+        frame_sample(bad, 1).collect()
+
+
+def test_audio_features(spark):
+    sr = 16000
+    t = np.arange(sr)  # 1 second
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / sr)).astype("<i2")
+    rows = [(1, sine.tobytes(), sr, "pcm-s16le")]
+    df = spark.createDataFrame(
+        rows, "audio_id long, bytes binary, sample_rate int, fmt string"
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert r["duration_s"] == pytest.approx(1.0)
+    # sine RMS ≈ amplitude/√2
+    assert r["rms"] == pytest.approx(10000 / np.sqrt(2), rel=1e-3)
+    # 440 Hz → ~880 zero crossings per second
+    assert abs(r["zero_crossings"] - 880) <= 2
+
+
+def test_multimodal_is_single_map_stage(spark, images):
+    """No shuffle: resize+features chained is still exchanges-free."""
+    out = extract_image_features(resize_images(images, 16, 12))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan or "BroadcastExchange" in plan
+    assert out.count() == 12

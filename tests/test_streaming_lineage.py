@@ -137,3 +137,75 @@ def test_streaming_windowed_agg_with_watermark(spark, tmpdirs):
     out = spark.read.parquet(out_dir)
     rows = {r["w"]["start"].hour: r["n"] for r in out.collect()}
     assert rows == {10: 20}
+
+
+def test_stateful_capture_assembly_across_batches(spark, tmp_path):
+    """applyInPandasWithState capture assembly: a capture whose bands are
+    split across two micro-batches must emit exactly once — complete, in
+    the batch where the 5th band lands (SURVEY §2.9 custom stateful op)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.streaming.stateful import (
+        stateful_capture_assembly,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "capture_id string, band int"
+
+    # batch 1: capture A bands 1-3, capture B bands 1-5 (complete)
+    b1 = [("A", b) for b in (1, 2, 3)] + [("B", b) for b in (1, 2, 3, 4, 5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{in_dir}/batch=1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{in_dir}/batch=*")
+    q = (
+        stateful_capture_assembly(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                done = {
+                    r["capture_id"]
+                    for r in spark.read.parquet(out_dir).collect()
+                }
+            except Exception:
+                done = set()
+            if "B" in done:
+                break
+            time.sleep(2)
+        assert "B" in done and "A" not in done  # A incomplete → held in state
+
+        # batch 2: A's bands 4+5 arrive → A completes exactly once
+        b2 = [("A", 4), ("A", 5)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/batch=2")
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.read.parquet(out_dir).collect()
+            if any(r["capture_id"] == "A" for r in rows):
+                break
+            time.sleep(2)
+        a_rows = [r for r in rows if r["capture_id"] == "A"]
+        assert len(a_rows) == 1
+        assert a_rows[0]["status"] == "complete"
+        assert a_rows[0]["bands"] == "1,2,3,4,5"
+        b_rows = [r for r in rows if r["capture_id"] == "B"]
+        assert len(b_rows) == 1  # still exactly once
+    finally:
+        q.stop()

@@ -1293,10 +1293,33 @@ def q_image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline slice (build brief): resize the band payloads to
+    16x12 then extract typed pixel features — two chained mapInPandas map
+    stages, zero shuffles. Rows-only driver check (pixel ops aren't
+    SQL-expressible); values pinned against numpy in tests."""
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    bands = band_rows_from_orders(spark, sf_dir).withColumn(
+        "image_id", F.xxhash64(F.col("image_id"))
+    )
+    return extract_image_features(resize_images(bands, 16, 12)).select(
+        "image_id",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
 QUERIES.update(
     {
         "capture_pipeline": q_capture_pipeline,
         "image_integrity": q_image_integrity,
+        "multimodal_features": q_multimodal_features,
     }
 )
 # intentionally absent from ORACLES → driver records rows-only checks
