@@ -212,3 +212,23 @@ def test_ivf_pruned_index_matches_inmemory(spark, tmp_path):
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan and "ivf_list" in scan[0]
     assert pruned.count() > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (diameter 4 — needs multiple
+    rounds), a 2-node island, and a self-contained triangle all resolve to
+    their component minimum."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain, min=1
+        (10, 11),                            # island, min=10
+        (20, 21), (21, 22), (20, 22),        # triangle, min=20
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

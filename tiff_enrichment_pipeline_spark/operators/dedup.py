@@ -174,3 +174,67 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: (node, component) with component =
+    min node id reachable through the pair graph — the step that turns
+    pairwise candidates (LSH/Jaccard output) into "keep one per cluster"
+    decisions in a training-data dedup pipeline.
+
+    Algorithm: iterative min-label propagation. Each round is
+    edges ⋈ labels (equi-join on uniform ids — skew-free) + a min
+    aggregate; a label needs one round per hop, so rounds ∝ component
+    diameter (near-dup clusters are shallow — dozens of rounds would mean
+    a pathological chain; ``max_iter`` guards it). Per round the driver
+    sees ONE scalar (the changed-label count) and the lineage is truncated
+    with ``localCheckpoint`` so the plan does not grow with iterations.
+    Wrong answers are impossible: fixpoint = every node holds its
+    component's minimum.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), "comp"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

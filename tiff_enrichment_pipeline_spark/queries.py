@@ -785,6 +785,54 @@ def q_jaccard_pairs_sql() -> str:
     FROM d a JOIN d b ON a.doc < b.doc"""
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters (connected components by min-label
+    propagation): node + component id + whether the node survives dedup
+    (is its cluster's minimum). Edges: unigram Jaccard ≥ 0.9 among docs
+    id<100. The oracle computes the identical fixpoint with a recursive
+    CTE (min reachable id)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), max_id=100).filter(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        "node", "comp", (F.col("node") == F.col("comp")).alias("survivor")
+    )
+
+
+def q_dedup_components_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import tokens_sql
+
+    t = tokens_sql("text")
+    return f"""WITH RECURSIVE d AS (
+      SELECT doc_id AS doc, list_distinct({t}) AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    half AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM d a JOIN d b ON a.doc < b.doc
+      WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM half
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM half
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS node, MIN(m) AS comp, n = MIN(m) AS survivor
+    FROM reach GROUP BY n"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID + agreement with the labeled lang."""
     from tiff_enrichment_pipeline_spark.functions.text import predicted_lang
@@ -928,6 +976,7 @@ _EXTRA_QUERIES = {
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_components": q_dedup_components,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "ann_topk": q_ann_topk,
@@ -939,6 +988,7 @@ _EXTRA_ORACLES = {
     "lsh_pairs": q_lsh_pairs_sql(),
     "simhash": q_simhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
+    "dedup_components": q_dedup_components_sql(),
     "langid": q_langid_sql(),
     "quality_score": q_quality_score_sql(),
     "ann_topk": q_ann_topk_sql(),
