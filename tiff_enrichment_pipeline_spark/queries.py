@@ -621,6 +621,33 @@ def q_percentiles_sql() -> str:
     FROM events GROUP BY event_type"""
 
 
+def q_percentiles_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §2.10 shape-3 UDF: a grouped-agg pandas UDF (Series →
+    scalar, Arrow-batched partial aggregation) computing the exact
+    interpolated percentile — same oracle as `percentiles` (numpy's
+    'linear' interpolation ≡ quantile_cont ≡ Spark percentile())."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import DoubleType
+
+    def _p(q: float):
+        # explicit GROUPED_AGG: `from __future__ import annotations` makes
+        # hints strings, which defeats the signature-based kind inference
+        def inner(v):
+            return float(np.percentile(v.to_numpy(np.float64), q))
+
+        from pyspark.sql.functions import PandasUDFType
+
+        return F.pandas_udf(inner, DoubleType(), PandasUDFType.GROUPED_AGG)
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(_p(25)(F.col("value")), 4).alias("p25"),
+        F.round(_p(50)(F.col("value")), 4).alias("p50"),
+        F.round(_p(75)(F.col("value")), 4).alias("p75"),
+    )
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENGINE path for A3 at scale: percentile_approx (Greenwald-Khanna
     sketch — bounded memory per group, mergeable partials; accuracy
@@ -676,6 +703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "generated_columns": q_generated_columns,
     "percentiles": q_percentiles,
+    "percentiles_udaf": q_percentiles_udaf,
     "percentiles_approx": q_percentiles_approx,  # no oracle: sketch-defined
     "union_glob": q_union_glob,
 }
@@ -701,6 +729,7 @@ ORACLES: dict[str, str] = {
     "json_extract": q_json_extract_sql(),
     "generated_columns": q_generated_columns_sql(),
     "percentiles": q_percentiles_sql(),
+    "percentiles_udaf": q_percentiles_sql(),
     "union_glob": q_union_glob_sql(),
 }
 
