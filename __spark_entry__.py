@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, sf_dir),
         dem_tiles=dem_tiles_df(spark),
-    ).drop("weather")  # map column: keep driver smoke schema simple
+        observations=geotables.weather_observations(spark, sf_dir),
+    ).drop("weather")  # struct column: keep driver smoke schema simple
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

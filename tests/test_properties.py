@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) over the pure-numpy twins — the layer
+the reference lacks entirely (SURVEY §5 'no property-based testing'). No
+SparkSession: these pin the math the Arrow UDFs execute."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tiff_enrichment_pipeline_spark.raster import codec
+from tiff_enrichment_pipeline_spark.raster.multimodal import (
+    image_features_np,
+    resize_bilinear_np,
+)
+
+_dims = st.integers(min_value=2, max_value=48)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=_dims, h=_dims, seed=st.integers(0, 2**31 - 1))
+def test_codec_roundtrip_lossless(w, h, seed):
+    img = np.random.default_rng(seed).integers(0, 65536, (h, w), dtype=np.uint16)
+    assert np.array_equal(codec.decode_raw_u16(codec.encode_raw_u16(img), w, h), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=_dims, h=_dims, seed=st.integers(0, 2**31 - 1))
+def test_lossy_q12_psnr_invariant(w, h, seed):
+    """The input_hint per-row invariant: lossy PSNR ≥ 40 dB, always."""
+    img = np.random.default_rng(seed).integers(0, 65536, (h, w), dtype=np.uint16)
+    dec = codec.decode_raw_u16(codec.encode_lossy_q12(img), w, h)
+    assert codec.psnr_db(img, dec) >= 40.0
+    assert np.abs(dec.astype(np.int64) - img.astype(np.int64)).max() < 16
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=_dims, h=_dims, ow=_dims, oh=_dims, seed=st.integers(0, 2**31 - 1))
+def test_resize_bounds_and_identity(w, h, ow, oh, seed):
+    """Bilinear resize never leaves the input value range; identity resize
+    is exact (pixel-center alignment property)."""
+    img = np.random.default_rng(seed).integers(0, 65536, (h, w), dtype=np.uint16)
+    out = resize_bilinear_np(img, ow, oh)
+    assert out.shape == (oh, ow)
+    assert out.min() >= img.min() and out.max() <= img.max()
+    assert np.array_equal(resize_bilinear_np(img, w, h), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=_dims, h=_dims, seed=st.integers(0, 2**31 - 1), c=st.integers(0, 65535))
+def test_features_invariants(w, h, seed, c):
+    img = np.random.default_rng(seed).integers(0, 65536, (h, w), dtype=np.uint16)
+    m, s, p95, e = image_features_np(img)
+    assert img.min() <= m <= img.max()
+    assert s >= 0 and e >= 0
+    assert img.min() <= p95 <= img.max()
+    # constant image: zero std, zero edges, mean == value
+    mc, sc, pc, ec = image_features_np(np.full((h, w), c, dtype=np.uint16))
+    assert (mc, sc, ec) == (float(c), 0.0, 0.0) and pc == float(c)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lat=st.floats(-89.0, 89.0), lon=st.floats(-179.9, 179.9),
+    dlat=st.floats(-0.5, 0.5), dlon=st.floats(-0.5, 0.5),
+)
+def test_knn_chord_monotonic_in_greatcircle(lat, lon, dlat, dlon):
+    """The kNN ranking key (squared 3-D chord) must order pairs exactly as
+    great-circle distance does — the exactness argument of knn_join."""
+    import math
+
+    def xyz(la, lo):
+        rp, rl = math.radians(la), math.radians(lo)
+        return np.array(
+            [math.cos(rp) * math.cos(rl), math.cos(rp) * math.sin(rl), math.sin(rp)]
+        )
+
+    def gc(la1, lo1, la2, lo2):
+        a = (
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+        )
+        return 2 * math.asin(min(1.0, math.sqrt(a)))
+
+    p = xyz(lat, lon)
+    near = xyz(max(-89.9, min(89.9, lat + dlat / 2)), lon + dlon / 2)
+    far = xyz(max(-89.9, min(89.9, lat + dlat)), lon + dlon)
+    d2n, d2f = ((p - near) ** 2).sum(), ((p - far) ** 2).sum()
+    gn = gc(lat, lon, max(-89.9, min(89.9, lat + dlat / 2)), lon + dlon / 2)
+    gf = gc(lat, lon, max(-89.9, min(89.9, lat + dlat)), lon + dlon)
+    assert (d2n <= d2f) == (gn <= gf) or abs(gn - gf) < 1e-12

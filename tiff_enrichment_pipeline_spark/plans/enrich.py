@@ -97,13 +97,18 @@ def enrich(
         .withColumn("enrich_status", F.lit("enriched"))
     )
 
-    passthrough = no_gps
-    for c in enriched.columns:
-        if c not in passthrough.columns:
-            passthrough = passthrough.withColumn(
-                c,
-                F.lit(None).cast(dict(enriched.dtypes)[c])
-                if c != "enrich_status"
-                else F.lit("no_gps"),
-            )
+    # single projection (not a withColumn chain — each withColumn is one
+    # more analysis pass over a wide plan)
+    dtypes = dict(enriched.dtypes)
+    passthrough = no_gps.select(
+        *no_gps.columns,
+        *[
+            (
+                F.lit("no_gps") if c == "enrich_status"
+                else F.lit(None).cast(dtypes[c])
+            ).alias(c)
+            for c in enriched.columns
+            if c not in no_gps.columns
+        ],
+    )
     return enriched.unionByName(passthrough.select(*enriched.columns))
