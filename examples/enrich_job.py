@@ -11,6 +11,13 @@ enriched rows + per-partition lineage + metrics tables.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+# direct `python examples/enrich_job.py` convenience; under spark-submit the
+# engine arrives via --py-files and this is a no-op
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import SparkSession
 
