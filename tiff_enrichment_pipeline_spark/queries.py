@@ -13,7 +13,11 @@ Determinism rules (driver hashes values after sorting columns by name):
 - money sums via exact DECIMAL accumulation cast to DOUBLE at the end
   (double-summation order differs between engines otherwise);
 - every computed column aliased identically on both sides;
-- ordering-sensitive ops (top-k, row_number) carry unique tie-breakers.
+- ordering-sensitive ops (top-k, row_number) carry unique tie-breakers;
+- array outputs serialized to CSV strings (array_join / array_to_string):
+  the driver canonicalizer cannot hash list cells;
+- tz-aware timestamps (stream window bounds) emitted as formatted strings
+  so naive-vs-aware canonicalization can't diverge.
 
 Geo queries run over tables *derived* from driver parquet with arithmetic
 written twice (geotables.py) so DuckDB reproduces them exactly.
@@ -1540,7 +1544,26 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, emb, k=5, n_lists=16, nprobe=4)
 
 
-QUERIES.update({"ivf_ann": q_ivf_ann})
+def q_ivf_ann_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index path: write the corpus PARTITIONED BY
+    ivf_list, probe via partition pruning (the 100 TB shape — only
+    nprobe/n_lists of the index directories are scanned). Rows-only;
+    in-memory/index parity + PartitionFilters pinned in pytest."""
+    import tempfile
+
+    from tiff_enrichment_pipeline_spark.operators.ann import (
+        ivf_probe_pruned,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    write_ivf_index(emb, path, n_lists=16)
+    q = emb.filter(F.col("vec_id") < 20)
+    return ivf_probe_pruned(q, path, k=5, nprobe=4)
+
+
+QUERIES.update({"ivf_ann": q_ivf_ann, "ivf_ann_pruned": q_ivf_ann_pruned})
 
 
 # ===========================================================================
