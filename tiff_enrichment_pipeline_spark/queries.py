@@ -784,6 +784,56 @@ def q_lsh_pairs_sql() -> str:
     WHERE a.doc < b.doc"""
 
 
+def q_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MinHash-LSH dedup: shingle → minhash → banded LSH pairs →
+    connected components → keep-one-per-cluster — the full training-data
+    dedup pipeline as ONE value-exact query (every stage deterministic
+    hash arithmetic, so the oracle reproduces the whole chain)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    cc = connected_components(pairs)
+    return cc.select(
+        "node", "comp", (F.col("node") == F.col("comp")).alias("survivor")
+    )
+
+
+def q_lsh_dedup_clusters_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        MINHASH_P, N_BANDS, minhash_sigs_sql,
+    )
+
+    sigs = minhash_sigs_sql("text")
+    cols = ", ".join(f"{s} AS sig{j}" for j, s in enumerate(sigs))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, sig{2*b}*{MINHASH_P}+sig{2*b+1} AS band_key "
+        f"FROM sig WHERE sig{2*b} IS NOT NULL"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH RECURSIVE sig AS (SELECT doc_id, {cols} FROM documents),
+    bt AS ({bands}),
+    half AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bt a JOIN bt b ON a.band=b.band AND a.band_key=b.band_key
+      WHERE a.doc < b.doc
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM half
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM half
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS node, MIN(m) AS comp, n = MIN(m) AS survivor
+    FROM reach GROUP BY n"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (explode + conditional bit sums)."""
     from tiff_enrichment_pipeline_spark.operators.dedup import simhash_df
@@ -1010,6 +1060,7 @@ _EXTRA_QUERIES = {
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_components": q_dedup_components,
+    "lsh_dedup_clusters": q_lsh_dedup_clusters,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "ann_topk": q_ann_topk,
@@ -1022,6 +1073,7 @@ _EXTRA_ORACLES = {
     "simhash": q_simhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "dedup_components": q_dedup_components_sql(),
+    "lsh_dedup_clusters": q_lsh_dedup_clusters_sql(),
     "langid": q_langid_sql(),
     "quality_score": q_quality_score_sql(),
     "ann_topk": q_ann_topk_sql(),
