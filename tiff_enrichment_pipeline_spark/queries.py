@@ -263,6 +263,35 @@ def q_haversine_station_pairs_sql() -> str:
     WHERE a.station_id < b.station_id AND {d} < 30000.0"""
 
 
+def q_cell_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image hot-cell crowding feature (how many images share my res-8
+    cell — the curation signal that finds geotag pileups), computed as a
+    partial-agg groupBy + a SALTED join back to the probe
+    (operators/skew.salted_join): the one join shape where the fixture's
+    20%-in-one-cell skew would otherwise pile a whole hot cell into one
+    shuffle partition. Values identical to the unsalted join by
+    construction; the oracle is a plain window count."""
+    from tiff_enrichment_pipeline_spark.operators.skew import salted_join
+
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "lon", "lat")
+    cells = img.withColumn(
+        "cell_r8", grid.cell_of(F.col("lon"), F.col("lat"), grid.RES8)
+    ).select("image_id", "cell_r8")
+    counts = cells.groupBy("cell_r8").agg(F.count("*").alias("n_in_cell"))
+    out = salted_join(
+        cells, counts, on=["cell_r8"], identity_col="image_id", n_salt=8
+    )
+    return out.select("image_id", "cell_r8", "n_in_cell")
+
+
+def q_cell_crowding_sql() -> str:
+    c8 = grid.cell_sql("lon", "lat", grid.RES8)
+    return f"""{_IMAGES_CTE}
+    SELECT image_id, {c8} AS cell_r8,
+           COUNT(*) OVER (PARTITION BY {c8}) AS n_in_cell
+    FROM images"""
+
+
 def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL bounding-box predicate (P8, main.py:476-517) + GPS validity (P7)
     — pushdown-friendly conjunctive ranges; counts by bucket."""
@@ -695,6 +724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "elevation_partitioned": q_elevation_partitioned,
     "haversine_pairs": q_haversine_station_pairs,
     "bbox_filter": q_bbox_filter,
+    "cell_crowding": q_cell_crowding,
     "filename_classify": q_filename_classify,
     "dms_parse": q_dms_parse,
     "capture_assembly": q_capture_assembly,
@@ -721,6 +751,7 @@ ORACLES: dict[str, str] = {
     "elevation_partitioned": q_elevation_sql(),
     "haversine_pairs": q_haversine_station_pairs_sql(),
     "bbox_filter": q_bbox_filter_sql(),
+    "cell_crowding": q_cell_crowding_sql(),
     "filename_classify": q_filename_classify_sql(),
     "dms_parse": q_dms_parse_sql(),
     "capture_assembly": q_capture_assembly_sql(),
