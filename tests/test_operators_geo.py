@@ -172,3 +172,32 @@ def test_polygon_cover_is_superset(spark):
     )
     missing = centers.join(cover, ["polygon_id", "cell"], "left_anti").count()
     assert missing == 0
+
+
+def test_asof_join_semantics(spark):
+    """At-or-before semantics, tie → build row at same instant wins,
+    probe with no earlier build keeps NULLs; one shuffle by key."""
+    from tiff_enrichment_pipeline_spark.operators.asof import asof_join
+
+    build = spark.createDataFrame(
+        [(1, "2020-01-01", 1.0), (1, "2020-01-08", 2.0), (2, "2020-06-01", 9.0)],
+        "k long, d string, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    probe = spark.createDataFrame(
+        [(100, 1, "2020-01-05"), (101, 1, "2020-01-08"), (102, 1, "2019-12-31"),
+         (103, 2, "2021-01-01")],
+        "pid long, k long, pd string",
+    ).select("pid", "k", F.col("pd").cast("date").alias("pd"))
+    out = {
+        r["pid"]: (r["asof_d"], r["v"])
+        for r in asof_join(
+            probe, build, on="k", probe_time="pd", build_time="d",
+            value_cols=["v"],
+        ).collect()
+    }
+    import datetime as dt
+
+    assert out[100] == (dt.date(2020, 1, 1), 1.0)   # strictly before
+    assert out[101] == (dt.date(2020, 1, 8), 2.0)   # tie → same-day build
+    assert out[102] == (None, None)                 # nothing earlier
+    assert out[103] == (dt.date(2020, 6, 1), 9.0)   # different key

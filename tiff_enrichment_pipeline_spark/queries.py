@@ -189,6 +189,76 @@ def q_knn_weather_dated_sql() -> str:
     WHERE nn.rn = 1"""
 
 
+def q_asof_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal join (brief operator family): latest observation
+    at-or-before each image's capture date when observations are SPARSE
+    (every 7th day per station). Sort-based distributed as-of
+    (operators/asof.py — union + one station shuffle + running
+    forward-fill; no probe×history row blow-up); oracle: DuckDB ASOF
+    JOIN."""
+    from tiff_enrichment_pipeline_spark.operators.asof import asof_join
+    from tiff_enrichment_pipeline_spark.operators.knn_join import knn_nearest
+
+    img = geotables.images_geo(spark, sf_dir).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, sf_dir)
+    sparse = geotables.weather_observations(spark, sf_dir).filter(
+        F.datediff(
+            F.col("obs_date"), F.lit(geotables.OBS_START).cast("date")
+        ) % 7
+        == 0
+    )
+    nn = knn_nearest(img, st).select(
+        "image_id",
+        "station_id",
+        F.to_date("captured_at").alias("capture_date"),
+    )
+    out = asof_join(
+        nn,
+        sparse,
+        on="station_id",
+        probe_time="capture_date",
+        build_time="obs_date",
+        value_cols=["obs_temp_c", "obs_precip_mm"],
+    )
+    return out.select(
+        "image_id",
+        "station_id",
+        F.date_format("capture_date", "yyyy-MM-dd").alias("capture_date"),
+        F.date_format("asof_obs_date", "yyyy-MM-dd").alias("asof_obs_date"),
+        F.round("obs_temp_c", 4).alias("obs_temp_c"),
+        F.round("obs_precip_mm", 4).alias("obs_precip_mm"),
+    )
+
+
+def q_asof_weather_sql() -> str:
+    d = haversine_m_sql("i.lat", "i.lon", "s.st_lat", "s.st_lon")
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    stations AS ({geotables.stations_sql()}),
+    obs AS ({geotables.weather_observations_sql()}),
+    sparse AS (
+      SELECT * FROM obs
+      WHERE DATE_DIFF('day', DATE '{geotables.OBS_START}', obs_date) % 7 = 0
+    ),
+    nn AS (
+      SELECT i.image_id, i.captured_at, s.station_id,
+             ROW_NUMBER() OVER (PARTITION BY i.image_id ORDER BY {d} ASC, s.station_id ASC) AS rn
+      FROM images i CROSS JOIN stations s
+    ),
+    probe AS (
+      SELECT image_id, station_id, CAST(captured_at AS DATE) AS capture_date
+      FROM nn WHERE rn = 1
+    )
+    SELECT p.image_id, p.station_id,
+           STRFTIME(p.capture_date, '%Y-%m-%d') AS capture_date,
+           STRFTIME(o.obs_date, '%Y-%m-%d') AS asof_obs_date,
+           ROUND(o.obs_temp_c, 4) AS obs_temp_c,
+           ROUND(o.obs_precip_mm, 4) AS obs_precip_mm
+    FROM probe p ASOF LEFT JOIN sparse o
+      ON p.station_id = o.station_id AND p.capture_date >= o.obs_date"""
+
+
 def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster↔vector elevation tile join + bilinear sample (J7;
     create-tables.sql:122-126). NULL off-DEM (outside NL box)."""
@@ -720,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_landcover": q_pip_landcover,
     "knn_weather": q_knn_weather,
     "knn_weather_dated": q_knn_weather_dated,
+    "asof_weather": q_asof_weather,
     "elevation": q_elevation,
     "elevation_partitioned": q_elevation_partitioned,
     "haversine_pairs": q_haversine_station_pairs,
@@ -747,6 +818,7 @@ ORACLES: dict[str, str] = {
     "pip_landcover": q_pip_landcover_sql(),
     "knn_weather": q_knn_weather_sql(),
     "knn_weather_dated": q_knn_weather_dated_sql(),
+    "asof_weather": q_asof_weather_sql(),
     "elevation": q_elevation_sql(),
     "elevation_partitioned": q_elevation_sql(),
     "haversine_pairs": q_haversine_station_pairs_sql(),
