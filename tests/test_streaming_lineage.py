@@ -209,3 +209,90 @@ def test_stateful_capture_assembly_across_batches(spark, tmp_path):
         assert len(b_rows) == 1  # still exactly once
     finally:
         q.stop()
+
+
+def test_hll_sketch_within_rsd(spark):
+    """distinct_sketch (HLL++, rsd=0.01) must sit within ~3×rsd of the
+    exact distinct counts on the fixture."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.queries import q_distinct_sketch
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: (r["approx_users"], r["approx_events"])
+              for r in q_distinct_sketch(spark, sf).collect()}
+    exact = {
+        r["event_type"]: (r["nu"], r["ne"])
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nu"),
+             F.countDistinct("event_id").alias("ne"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et in exact:
+        for a, x in zip(approx[et], exact[et]):
+            assert abs(a - x) <= max(5, 0.03 * x), (et, a, x)
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exactly-once by key: duplicate image events arriving in a
+    later micro-batch (within the watermark) are dropped —
+    dropDuplicatesWithinWatermark over the checkpointed state."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    schema = "image_id long, ts timestamp"
+    b1 = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:10")]
+    spark.createDataFrame(b1, "image_id long, ts string").select(
+        "image_id", F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b=*")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["image_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= 2:
+                break
+            time.sleep(2)
+        # batch 2: one duplicate (id=1) + one new (id=3)
+        b2 = [(1, "2024-01-01 00:00:20"), (3, "2024-01-01 00:00:30")]
+        spark.createDataFrame(b2, "image_id long, ts string").select(
+            "image_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(f"{in_dir}/b=2")
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if any(r["image_id"] == 3 for r in rows):
+                break
+            time.sleep(2)
+        ids = sorted(r["image_id"] for r in rows)
+        assert ids == [1, 2, 3], ids  # duplicate id=1 dropped exactly once
+    finally:
+        q.stop()

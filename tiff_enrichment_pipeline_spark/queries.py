@@ -751,6 +751,20 @@ def q_percentiles_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (A11's scale form): approximate
+    distinct users/orders per event_type at rsd=0.01. Mergeable partials →
+    one skew-free partial-agg pass; the exact `group_stats` countDistinct
+    needs a full shuffle of the distinct values. No SQL oracle (sketch
+    estimates are implementation-defined); accuracy vs exact pinned in
+    pytest."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    )
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENGINE path for A3 at scale: percentile_approx (Greenwald-Khanna
     sketch — bounded memory per group, mergeable partials; accuracy
@@ -810,6 +824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "percentiles_udaf": q_percentiles_udaf,
     "percentiles_approx": q_percentiles_approx,  # no oracle: sketch-defined
+    "distinct_sketch": q_distinct_sketch,  # no oracle: HLL estimates impl-defined
     "union_glob": q_union_glob,
 }
 
