@@ -122,3 +122,28 @@ def test_streaming_reuses_real_enrich(spark, tmp_path):
     assert out.count() == 200
     assert out.filter(F.col("land_cover_class").isNotNull()).count() > 0
     assert out.filter(F.col("elevation").isNotNull()).count() > 0
+
+
+def test_asof_join_single_shuffle(spark):
+    """The distributed as-of join must cost exactly ONE hash exchange (the
+    station-keyed window) over the union — no range-join row blow-up, no
+    extra shuffles."""
+    from tiff_enrichment_pipeline_spark.operators.asof import asof_join
+
+    build = geotables.weather_observations(spark, SF)
+    probe = geotables.images_geo(spark, SF).select(
+        "image_id",
+        (F.col("image_id") % 100).alias("station_id"),
+        F.to_date("captured_at").alias("capture_date"),
+    )
+    out = asof_join(
+        probe, build, on="station_id", probe_time="capture_date",
+        build_time="obs_date", value_cols=["obs_temp_c"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "station_id" in hash_exchanges[0]
