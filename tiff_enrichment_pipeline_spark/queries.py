@@ -42,6 +42,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelized table read: the driver testdata is a single parquet
+    row-group, so a compute-heavy pipeline over a raw `_t` scan would run
+    on ONE task (measured: minhash over 5000 docs 77.7 s → 3 s). Values
+    unchanged; use for expression-dense per-row work (shingles, hashes).
+    At production scale the table has natural splits and this is a no-op
+    cost-wise."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _IMAGES_CTE = f"WITH images AS ({geotables.images_geo_sql()})"
 _STATIONS_CTE = f"WITH stations AS ({geotables.stations_sql()})"
 
@@ -865,7 +877,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 perms over 3-word shingles) per document."""
     from tiff_enrichment_pipeline_spark.operators.dedup import minhash_signature_df
 
-    return minhash_signature_df(_t(spark, sf_dir, "documents"))
+    return minhash_signature_df(_tp(spark, sf_dir, "documents"))
 
 
 def q_minhash_signatures_sql() -> str:
@@ -880,7 +892,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 2 rows)."""
     from tiff_enrichment_pipeline_spark.operators.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(_tp(spark, sf_dir, "documents"))
 
 
 def q_lsh_pairs_sql() -> str:
@@ -912,7 +924,7 @@ def q_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
     )
 
-    pairs = lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(_tp(spark, sf_dir, "documents"))
     cc = connected_components(pairs)
     return cc.select(
         "node", "comp", (F.col("node") == F.col("comp")).alias("survivor")
@@ -956,7 +968,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (explode + conditional bit sums)."""
     from tiff_enrichment_pipeline_spark.operators.dedup import simhash_df
 
-    return simhash_df(_t(spark, sf_dir, "documents"))
+    return simhash_df(_tp(spark, sf_dir, "documents"))
 
 
 def q_simhash_sql() -> str:
