@@ -194,13 +194,18 @@ def _elevation_partitioned(
     )
 
     tx, ty = tile_key(F.col(lon), F.col(lat))
-    probe = (
-        images.withColumn("tile_x", tx)
-        .withColumn("tile_y", ty)
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
-        )
+    keyed = images.withColumn("tile_x", tx).withColumn("tile_y", ty)
+    # off-DEM probes (worldwide points, null GPS) never enter the shuffle
+    # or the Python boundary: a broadcast semi/anti split on the (small)
+    # tile-key set routes them straight to NULL columns. Without this,
+    # every distinct off-DEM tile becomes its own empty-right cogroup —
+    # thousands of one-row Python calls (measured 23 s → 9 s at sf0.1).
+    dem_keys = dem_tiles.select("tile_x", "tile_y")
+    on_dem = keyed.join(F.broadcast(dem_keys), ["tile_x", "tile_y"], "left_semi")
+    off_dem = keyed.join(F.broadcast(dem_keys), ["tile_x", "tile_y"], "left_anti")
+    probe = on_dem.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
     )
     dem_s = dem_tiles.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -242,7 +247,14 @@ def _elevation_partitioned(
     grouped = probe.groupBy("tile_x", "tile_y", "_salt").cogroup(
         dem_s.groupBy("tile_x", "tile_y", "_salt")
     )
-    result = grouped.applyInPandas(_sample_group, out_schema)
+    sampled = grouped.applyInPandas(_sample_group, out_schema)
+    off = off_dem.select(
+        *probe_cols,
+        F.lit(None).cast("double").alias("elevation"),
+        F.lit(None).cast("string").alias("elevation_source"),
+        F.lit(None).cast("double").alias("elevation_accuracy_m"),
+    )
+    result = sampled.unionByName(off)
     # NaN → NULL off-DEM (and for GPS-less rows), matching the broadcast
     # strategy's F.when(...) NULL semantics
     return result.withColumn(
