@@ -44,3 +44,35 @@ def test_wrong_types_rejected():
         EnrichConfig(broadcast_dem="yes").validate()
     with pytest.raises(ConfigError, match="dem_salt"):
         EnrichConfig(dem_salt=0).validate()
+
+
+def test_module_cli_batch(spark, tmp_path):
+    """`python -m tiff_enrichment_pipeline_spark` (SURVEY §3.2 entry point):
+    batch mode writes enriched + lineage + metrics and reports a summary."""
+    import json
+
+    from tiff_enrichment_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "cli")
+    rc = main(["/root/testdata/sf0.001", out])
+    assert rc == 0
+    import pyspark.sql
+
+    s = pyspark.sql.SparkSession.getActiveSession()
+    assert s.read.parquet(f"{out}/enriched").count() == 1500
+    assert s.read.parquet(f"{out}/lineage").count() > 0
+    assert s.read.parquet(f"{out}/metrics").count() > 0
+
+
+def test_module_cli_rejects_bad_config(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from tiff_enrichment_pipeline_spark.__main__ import main
+    from tiff_enrichment_pipeline_spark.config import ConfigError
+
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps({"knn_k": 0}))
+    with _pytest.raises(ConfigError, match="knn_k"):
+        main(["/root/testdata/sf0.001", str(tmp_path / "o"), "--config", str(cfgf)])

@@ -1,0 +1,113 @@
+"""Module CLI — `python -m tiff_enrichment_pipeline_spark <sf_dir> [out]`.
+
+The reference's second entry point (`python -m pipeline.micasense
+<input_dir>`, src/pipeline/micasense/__main__.py:48-62: argparse →
+load/validate config → process_all → summary JSON). Spark shape: validate
+config BEFORE building any plan, run the flagship enrichment DAG once
+(batch) or as the streaming watcher (--watch), write enriched + lineage +
+metrics tables, print a one-line JSON summary.
+
+Grouping semantics follow main.py's regex classification (P1-P3), not this
+entry point's positional-band variant — the documented divergence
+(SURVEY §3.2: the reference's two groupings are mutually inconsistent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tiff_enrichment_pipeline_spark")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("output_dir", nargs="?", default="/tmp/enriched_out")
+    ap.add_argument(
+        "--config", help="JSON file of EnrichConfig overrides", default=None
+    )
+    ap.add_argument(
+        "--watch", action="store_true",
+        help="streaming watcher mode (readStream over sf_dir-shaped input)",
+    )
+    args = ap.parse_args(argv)
+
+    from tiff_enrichment_pipeline_spark.config import EnrichConfig
+
+    overrides = {}
+    if args.config:
+        with open(args.config) as f:
+            overrides = json.load(f)
+    cfg = EnrichConfig.from_dict(
+        {**overrides, "sf_dir": args.sf_dir, "output_dir": args.output_dir}
+    )
+
+    from pyspark.sql import SparkSession
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.operators.lineage import RunRecorder
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = time.time()
+
+    landcover = geotables.landcover_polygons(spark)
+    stations = geotables.stations(spark, cfg.sf_dir)
+    dem = dem_tiles_df(spark)
+    obs = (
+        geotables.weather_observations(spark, cfg.sf_dir)
+        if cfg.use_observations
+        else None
+    )
+
+    if args.watch:
+        from tiff_enrichment_pipeline_spark.streaming.watcher import watch_images
+
+        def enrich_batch(df, batch_id):
+            return enrich(
+                df, landcover=landcover, stations=stations, dem_tiles=dem,
+                k=cfg.knn_k, observations=obs,
+            )
+
+        schema = (
+            "image_id long, lon double, lat double, alt double, "
+            "captured_at timestamp"
+        )
+        q = watch_images(
+            spark, f"{cfg.sf_dir}/stream_in", f"{cfg.output_dir}/enriched",
+            f"{cfg.output_dir}/_checkpoint", enrich_batch, schema=schema,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(f"{cfg.output_dir}/enriched").count()
+    else:
+        rec = RunRecorder("RUN_CLI")
+        images = geotables.images_geo(spark, cfg.sf_dir)
+        result = enrich(
+            images, landcover=landcover, stations=stations, dem_tiles=dem,
+            k=cfg.knn_k, observations=obs,
+        )
+        result.write.mode("overwrite").parquet(f"{cfg.output_dir}/enriched")
+        out = spark.read.parquet(f"{cfg.output_dir}/enriched")
+        lineage, metrics = rec.finish(out)
+        lineage.write.mode("overwrite").parquet(f"{cfg.output_dir}/lineage")
+        metrics.write.mode("overwrite").parquet(f"{cfg.output_dir}/metrics")
+        n = out.count()
+
+    print(
+        json.dumps(
+            {
+                "enriched_rows": n,
+                "output_dir": cfg.output_dir,
+                "wall_s": round(time.time() - t0, 2),
+                "mode": "watch" if args.watch else "batch",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
