@@ -76,3 +76,24 @@ def test_module_cli_rejects_bad_config(tmp_path):
     cfgf.write_text(json.dumps({"knn_k": 0}))
     with _pytest.raises(ConfigError, match="knn_k"):
         main(["/root/testdata/sf0.001", str(tmp_path / "o"), "--config", str(cfgf)])
+
+
+def test_preflight_ok_and_failures(spark, tmp_path):
+    """Health gate (SURVEY §3.1 step 2): all-ok dict on a good setup; every
+    failure listed at once on a bad one."""
+    from tiff_enrichment_pipeline_spark.health import (
+        HealthCheckError,
+        preflight,
+    )
+
+    checks = preflight(spark, "/root/testdata/sf0.001", str(tmp_path / "o"))
+    assert checks["spark_session"] == "ok"
+    assert checks["timezone_utc"] == "ok"
+    assert checks["input_orders"] == "ok"
+    assert checks["output_writable"] == "ok"
+
+    with pytest.raises(HealthCheckError) as e:
+        preflight(spark, str(tmp_path / "missing_dir"))
+    msg = str(e.value)
+    # all three missing tables reported together
+    assert msg.count("input ") == 3

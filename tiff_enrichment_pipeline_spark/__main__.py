@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     t0 = time.time()
 
+    from tiff_enrichment_pipeline_spark.health import preflight
+
+    # fail-fast health gate (reference main.py:411-413 / health.py:92-107)
+    preflight(spark, cfg.sf_dir, cfg.output_dir)
+
     landcover = geotables.landcover_polygons(spark)
     stations = geotables.stations(spark, cfg.sf_dir)
     dem = dem_tiles_df(spark)
