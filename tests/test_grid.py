@@ -58,3 +58,36 @@ def test_cell_center_roundtrip(spark):
     w = grid.cell_width_deg(grid.RES8)
     assert abs(row["x"] - 5.0) <= w / 2
     assert abs(row["y"] - 52.0) <= w / 2
+
+
+def test_kring_wraps_antimeridian(spark):
+    """A point at lon≈180 must have ring neighbors on BOTH sides of the
+    antimeridian (ix wraps mod nx), and its ring must contain the cell of
+    a point just across the seam."""
+    df = spark.createDataFrame(
+        [(1, 179.99, 10.0), (2, -179.99, 10.0)],
+        "id long, lon double, lat double",
+    )
+    cell = grid.cell_of(F.col("lon"), F.col("lat"), 10)
+    out = df.select(
+        "id", cell.alias("cell"), grid.kring_cells(cell, 10, 1).alias("ring")
+    ).collect()
+    cells = {r["id"]: r["cell"] for r in out}
+    rings = {r["id"]: set(r["ring"]) for r in out}
+    assert cells[2] in rings[1]  # across-the-seam neighbor is in the ring
+    assert cells[1] in rings[2]
+    assert len(rings[1]) == 9
+
+
+def test_cell_of_null_and_nan_yield_null(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, float("nan"), 10.0), (3, 5.0, 52.0)],
+        "id long, lon double, lat double",
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", grid.cell_of(F.col("lon"), F.col("lat"), 10).alias("c")
+        ).collect()
+    }
+    assert out[1] is None and out[2] is None and out[3] is not None
