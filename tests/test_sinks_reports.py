@@ -188,3 +188,30 @@ def test_percentiles_approx_close_to_exact(spark):
             # percentile_approx returns an observed value near the exact
             # interpolated quantile; tolerance = a small value-space band
             assert abs(a - b) <= max(0.5, 0.01 * abs(a)), (et, exact[et], approx[et])
+
+
+def test_upsert_preserves_partition_layout(spark, tmp_path):
+    """Upserting into a partitioned image table must keep the p_* layout
+    (a flattening rewrite would silently kill partition pruning)."""
+    import os
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.sources.images import (
+        upsert_by_key,
+        write_images,
+    )
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001").filter(
+        F.col("image_id") < 300
+    )
+    n = img.count()
+    path = str(tmp_path / "tbl")
+    write_images(img, path, mode="overwrite", buckets=4)
+    upd = img.filter(F.col("image_id") % 7 == 0).withColumn("alt", F.lit(0.0))
+    n_upd = upd.count()
+    upsert_by_key(spark, path, upd, key="image_id")
+    # partition dirs survive the merge
+    assert any(d.startswith("p_bucket=") for d in os.listdir(path)), os.listdir(path)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.filter(F.col("alt") == 0.0).count() == n_upd

@@ -123,14 +123,23 @@ def upsert_by_key(
         return
     import shutil
 
-    existing = spark.read.parquet(target_location)
+    raw = spark.read.parquet(target_location)
+    # preserve the physical layout: if the target was written partitioned
+    # (write_images p_* columns), the merged rewrite re-derives them via
+    # write_images — otherwise one upsert would silently flatten the table
+    # and kill partition pruning for every later read
+    was_partitioned = any(c.startswith("p_") for c in raw.columns)
+    existing = raw.drop(*[c for c in raw.columns if c.startswith("p_")])
     merged = existing.join(updates.select(key), key, "left_anti").unionByName(
         updates
     )
     tmp = target_location.rstrip("/") + "__merge_tmp"
     old = target_location.rstrip("/") + "__merge_old"
     try:
-        merged.write.mode("overwrite").parquet(tmp)
+        if was_partitioned and key == "image_id":
+            write_images(merged, tmp, mode="overwrite")
+        else:
+            merged.write.mode("overwrite").parquet(tmp)
         # swap via two directory renames (cheap metadata ops), NOT a Spark
         # overwrite of the target (which deletes the target before the
         # rewrite — a crash there loses the table). The window between the
