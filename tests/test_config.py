@@ -11,16 +11,16 @@ from tiff_enrichment_pipeline_spark.config import ConfigError, EnrichConfig
 
 def test_defaults_are_valid():
     cfg = EnrichConfig().validate()
-    assert cfg.knn_k == 3 and cfg.cell_res_mid == 8
+    assert cfg.knn_ring == 2 and cfg.cell_res_mid == 15
 
 
 def test_invalid_values_all_reported_at_once():
     with pytest.raises(ConfigError) as e:
-        EnrichConfig(cell_res_low=99, knn_k=0, sf_dir="").validate()
+        EnrichConfig(cell_res_low=99, knn_ring=0, sf_dir="").validate()
     msg = str(e.value)
     # every violation listed, not just the first
     assert "cell_res_low=99" in msg
-    assert "knn_k=0" in msg
+    assert "knn_ring=0" in msg
     assert "sf_dir=''" in msg
 
 
@@ -30,13 +30,13 @@ def test_resolution_ordering_enforced():
 
 
 def test_from_dict_rejects_unknown_keys():
-    with pytest.raises(ConfigError, match="unknown config keys: knn_kk"):
-        EnrichConfig.from_dict({"knn_kk": 3})
+    with pytest.raises(ConfigError, match="unknown config keys: knn_k"):
+        EnrichConfig.from_dict({"knn_k": 3})  # removed field = unknown key
 
 
 def test_from_dict_roundtrip():
-    cfg = EnrichConfig.from_dict({"knn_k": 5, "broadcast_dem": False})
-    assert cfg.knn_k == 5 and cfg.broadcast_dem is False
+    cfg = EnrichConfig.from_dict({"knn_ring": 3, "broadcast_dem": False})
+    assert cfg.knn_ring == 3 and cfg.broadcast_dem is False
 
 
 def test_wrong_types_rejected():
@@ -73,8 +73,8 @@ def test_module_cli_rejects_bad_config(tmp_path):
     from tiff_enrichment_pipeline_spark.config import ConfigError
 
     cfgf = tmp_path / "cfg.json"
-    cfgf.write_text(json.dumps({"knn_k": 0}))
-    with _pytest.raises(ConfigError, match="knn_k"):
+    cfgf.write_text(json.dumps({"knn_ring": 0}))
+    with _pytest.raises(ConfigError, match="knn_ring"):
         main(["/root/testdata/sf0.001", str(tmp_path / "o"), "--config", str(cfgf)])
 
 
@@ -97,3 +97,56 @@ def test_preflight_ok_and_failures(spark, tmp_path):
     msg = str(e.value)
     # all three missing tables reported together
     assert msg.count("input ") == 3
+
+
+def test_cli_config_file_paths_not_clobbered(spark, tmp_path):
+    """--config file sf_dir/output_dir must win over argparse DEFAULTS (only
+    explicit positionals override the file)."""
+    import json
+
+    from tiff_enrichment_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "from_config")
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(
+        json.dumps({"sf_dir": "/root/testdata/sf0.001", "output_dir": out})
+    )
+    rc = main(["--config", str(cfgf)])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(out)  # wrote where the config said
+
+
+def test_enrich_partitioned_dem_matches_broadcast_plan(spark):
+    """enrich(broadcast_dem=False) — the planetary-DEM flagship — must
+    produce the same enrichment values as the default fused plan."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    sf = "/root/testdata/sf0.001"
+    kw = dict(
+        landcover=geotables.landcover_polygons(spark),
+        stations=geotables.stations(spark, sf),
+        dem_tiles=dem_tiles_df(spark),
+        observations=geotables.weather_observations(spark, sf),
+    )
+    img = geotables.images_geo(spark, sf).limit(400)
+    cols = ["image_id", "land_cover_class", "weather_station_id",
+            "elevation", "elevation_source", "enrich_status"]
+
+    def vals(df):
+        return {
+            r["image_id"]: tuple(
+                round(x, 6) if isinstance(x, float) else x
+                for x in (r[c] for c in cols[1:])
+            )
+            for r in df.select(cols).collect()
+        }
+
+    a = vals(enrich(img, broadcast_dem=True, **kw))
+    b = vals(enrich(img, broadcast_dem=False, **kw))
+    assert a == b

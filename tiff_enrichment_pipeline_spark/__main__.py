@@ -22,8 +22,9 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tiff_enrichment_pipeline_spark")
-    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
-    ap.add_argument("output_dir", nargs="?", default="/tmp/enriched_out")
+    # None defaults so an ABSENT positional never clobbers a --config value
+    ap.add_argument("sf_dir", nargs="?", default=None)
+    ap.add_argument("output_dir", nargs="?", default=None)
     ap.add_argument(
         "--config", help="JSON file of EnrichConfig overrides", default=None
     )
@@ -39,9 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.config:
         with open(args.config) as f:
             overrides = json.load(f)
-    cfg = EnrichConfig.from_dict(
-        {**overrides, "sf_dir": args.sf_dir, "output_dir": args.output_dir}
-    )
+    # precedence: explicit positional > config file > dataclass default
+    if args.sf_dir is not None:
+        overrides["sf_dir"] = args.sf_dir
+    if args.output_dir is not None:
+        overrides["output_dir"] = args.output_dir
+    cfg = EnrichConfig.from_dict(overrides)
 
     from pyspark.sql import SparkSession
 
@@ -74,7 +78,10 @@ def main(argv: list[str] | None = None) -> int:
         def enrich_batch(df, batch_id):
             return enrich(
                 df, landcover=landcover, stations=stations, dem_tiles=dem,
-                k=cfg.knn_k, observations=obs,
+                observations=obs, res_low=cfg.cell_res_low,
+                res_mid=cfg.cell_res_mid, res_high=cfg.cell_res_high,
+                knn_res=cfg.knn_res, knn_ring=cfg.knn_ring,
+                broadcast_dem=cfg.broadcast_dem, dem_salt=cfg.dem_salt,
             )
 
         schema = (
@@ -92,10 +99,23 @@ def main(argv: list[str] | None = None) -> int:
         images = geotables.images_geo(spark, cfg.sf_dir)
         result = enrich(
             images, landcover=landcover, stations=stations, dem_tiles=dem,
-            k=cfg.knn_k, observations=obs,
+            observations=obs, res_low=cfg.cell_res_low,
+            res_mid=cfg.cell_res_mid, res_high=cfg.cell_res_high,
+            knn_res=cfg.knn_res, knn_ring=cfg.knn_ring,
+            broadcast_dem=cfg.broadcast_dem, dem_salt=cfg.dem_salt,
         )
-        result.write.mode("overwrite").parquet(f"{cfg.output_dir}/enriched")
-        out = spark.read.parquet(f"{cfg.output_dir}/enriched")
+        from tiff_enrichment_pipeline_spark.sources.images import (
+            read_images,
+            write_images,
+        )
+
+        # partitioned layout (id-hash bucket + coarse cell) so later reads
+        # of the enriched table prune — partition_buckets from config
+        write_images(
+            result.drop("weather"), f"{cfg.output_dir}/enriched",
+            mode="overwrite", buckets=cfg.partition_buckets,
+        )
+        out = read_images(spark, f"{cfg.output_dir}/enriched")
         lineage, metrics = rec.finish(out)
         lineage.write.mode("overwrite").parquet(f"{cfg.output_dir}/lineage")
         metrics.write.mode("overwrite").parquet(f"{cfg.output_dir}/metrics")

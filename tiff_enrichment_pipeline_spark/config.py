@@ -21,9 +21,9 @@ class ConfigError(ValueError):
     """All submit-time config violations, one per line."""
 
 
-# resolutions supported by grid.cell_of: int64 layout caps k (4 bits used
-# for the resolution prefix; ix needs k bits, iy needs k-1)
-_MIN_RES, _MAX_RES = 1, 15
+# resolutions supported by grid.cell_of's int64 layout
+# (cell = k·2^56 + ix·2^28 + iy → ix needs k bits < 2^28)
+_MIN_RES, _MAX_RES = 1, 28
 
 
 @dataclass(frozen=True)
@@ -38,23 +38,24 @@ class EnrichConfig:
     # inputs
     sf_dir: str = "/root/testdata/sf0.001"
     output_dir: str = "/tmp/enriched_out"
-    # cell resolutions (reference H3 res 7-9 analogue)
-    cell_res_low: int = 7
-    cell_res_mid: int = 8
-    cell_res_high: int = 9
-    # kNN weather
-    knn_k: int = 3
+    # quad-cell resolutions (reference H3 res 7-9 analogue → k 13/15/17);
+    # consumed by enrich(res_low/mid/high)
+    cell_res_low: int = 13
+    cell_res_mid: int = 15
+    cell_res_high: int = 17
+    # kNN candidate buckets: resolution + Chebyshev ring (exact for any
+    # setting; trades candidate-set size vs fallback frequency) —
+    # enrich(knn_res/knn_ring)
     knn_ring: int = 2
     knn_res: int = 10
-    # DEM strategy
+    # DEM strategy: broadcast grids vs salted co-partitioned cogroup —
+    # enrich(broadcast_dem/dem_salt)
     broadcast_dem: bool = True
     dem_salt: int = 8
-    # dated weather dimension
+    # dated weather dimension — enrich(observations=...)
     use_observations: bool = True
-    # sinks
+    # image/enriched table layout — write_images(buckets=...)
     partition_buckets: int = 16
-    # skew
-    hot_cell_salt: int = 8
 
     def validate(self) -> "EnrichConfig":
         errs: list[str] = []
@@ -77,11 +78,9 @@ class EnrichConfig:
                 f"cell_res_mid({self.cell_res_mid}) <= "
                 f"cell_res_high({self.cell_res_high})"
             )
-        if not isinstance(self.knn_k, int) or self.knn_k < 1:
-            errs.append(f"knn_k={self.knn_k!r}: must be an int >= 1")
         if not isinstance(self.knn_ring, int) or self.knn_ring < 1:
             errs.append(f"knn_ring={self.knn_ring!r}: must be an int >= 1")
-        for name in ("dem_salt", "hot_cell_salt", "partition_buckets"):
+        for name in ("dem_salt", "partition_buckets"):
             v = getattr(self, name)
             if not isinstance(v, int) or v < 1:
                 errs.append(f"{name}={v!r}: must be an int >= 1")

@@ -384,6 +384,10 @@ def ivf_probe_pruned(
     qp = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).withColumn("ivf_list", F.explode(probes(F.col("qv"))))
+    # materialize the probe assignment once (query batches are bounded by
+    # assumption) — otherwise the centroid-GEMM UDF would run twice: once
+    # for the pruning list, again inside the ranking join
+    qp = qp.localCheckpoint()
     lists = sorted(
         r["ivf_list"] for r in qp.select("ivf_list").distinct().collect()
     )

@@ -211,7 +211,8 @@ def connected_components(
     edges ⋈ labels (equi-join on uniform ids — skew-free) + a min
     aggregate; a label needs one round per hop, so rounds ∝ component
     diameter (near-dup clusters are shallow — dozens of rounds would mean
-    a pathological chain; ``max_iter`` guards it). Per round the driver
+    a pathological chain; exhausting ``max_iter`` RAISES rather than
+    returning silently-split clusters). Per round the driver
     sees ONE scalar (the changed-label count) and the lineage is truncated
     with ``localCheckpoint`` so the plan does not grow with iterations.
     Wrong answers are impossible: fixpoint = every node holds its
@@ -256,5 +257,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "a component's diameter exceeds max_iter (labels move one hop per "
+        "round). Raise max_iter; returning partial labels would silently "
+        "split clusters."
+    )

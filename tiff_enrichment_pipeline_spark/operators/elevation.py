@@ -88,6 +88,7 @@ def elevation_join(
     lon: str = "lon",
     lat: str = "lat",
     broadcast_dem: bool = True,
+    salt: int = 8,
 ) -> DataFrame:
     """images ⟕ DEM → + elevation (double, NULL off-DEM), elevation_source,
     elevation_accuracy_m.
@@ -104,7 +105,9 @@ def elevation_join(
     per-tile ``applyInPandas`` instead (grid crosses once per tile-group).
     """
     if not broadcast_dem:
-        return _elevation_partitioned(images, dem_tiles, lon=lon, lat=lat)
+        return _elevation_partitioned(
+            images, dem_tiles, lon=lon, lat=lat, salt=salt
+        )
     tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
     grids = {
         (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
@@ -203,13 +206,16 @@ def _elevation_partitioned(
     dem_keys = dem_tiles.select("tile_x", "tile_y")
     on_dem = keyed.join(F.broadcast(dem_keys), ["tile_x", "tile_y"], "left_semi")
     off_dem = keyed.join(F.broadcast(dem_keys), ["tile_x", "tile_y"], "left_anti")
+    from tiff_enrichment_pipeline_spark.operators.skew import replicate_build
+
+    # probe salt from the coordinates (not skew.with_salt's single identity
+    # column — two coordinate columns ARE the row identity here); DEM side
+    # replicated ×salt by the shared helper so the convention stays single
     probe = on_dem.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
     )
-    dem_s = dem_tiles.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("int"))
+    dem_s = replicate_build(dem_tiles, salt)
 
     out_schema = StructType(
         [f for f in probe.schema.fields if f.name != "_salt"]

@@ -33,9 +33,16 @@ def fused_station_dem_lookup(
     dem_tiles: DataFrame,
     lon: str = "lon",
     lat: str = "lat",
+    knn_res: int = 10,
+    knn_ring: int = 2,
 ) -> DataFrame:
     """images + ``_geo`` struct<st_idx,d2,elevation> + station payload +
-    dist_m + elevation columns. Exact 1-NN + bilinear DEM, one Arrow pass."""
+    dist_m + elevation columns. Exact 1-NN + bilinear DEM, one Arrow pass.
+
+    ``knn_res``/``knn_ring``: candidate-bucket resolution and Chebyshev
+    ring of the certified-exact 1-NN (EnrichConfig.knn_res/knn_ring) —
+    results are exact for ANY setting; they only trade candidate-set size
+    against fallback frequency."""
     st_rows = stations.collect()
     s_lat = np.array([r["st_lat"] for r in st_rows], dtype=np.float64)
     s_lon = np.array([r["st_lon"] for r in st_rows], dtype=np.float64)
@@ -44,7 +51,7 @@ def fused_station_dem_lookup(
     s_xyz = np.stack(
         [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
     )
-    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=10, ring=2)
+    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=knn_res, ring=knn_ring)
 
     tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
     grids = {
@@ -75,7 +82,9 @@ def fused_station_dem_lookup(
         elev = np.full(n, np.nan)
         valid = ~np.isnan(lat_v) & ~np.isnan(lon_v)
         # --- 1-NN station: cell-bucketed chord GEMM (certified-exact) ---
-        idx, d2v = topk_bucketed_np(lat_v, lon_v, S, ids, cand, 1, res=10, ring=2)
+        idx, d2v = topk_bucketed_np(
+            lat_v, lon_v, S, ids, cand, 1, res=knn_res, ring=knn_ring
+        )
         st_idx = idx[:, 0]
         d2_out = d2v[:, 0]
         if valid.any():

@@ -491,6 +491,11 @@ def _knn_hof(
         F.lit(False),
     )
 
+    # NOTE: the certified/uncertified split evaluates `joined` (probe scan +
+    # ring broadcast join + certification sort) once per branch — a
+    # deliberate 2× map-side cost on this NON-default strategy, traded for
+    # zero caching lifecycle inside the operator and an O(1)-size plan
+    # (the arrow strategy is the hot path and scans once).
     helper = ["_cell", "_ring_stations", "_px", "_py", "_pz"]
     cert_df = joined.filter(certified).withColumn(
         "knn", topk(F.col("_ring_stations"))

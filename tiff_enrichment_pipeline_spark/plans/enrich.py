@@ -34,13 +34,19 @@ def enrich(
     landcover: DataFrame,
     stations: DataFrame,
     dem_tiles: DataFrame,
-    k: int = 3,
     observations: DataFrame | None = None,
     ts: str = "captured_at",
+    res_low: int = grid.RES7,
+    res_mid: int = grid.RES8,
+    res_high: int = grid.RES9,
+    knn_res: int = 10,
+    knn_ring: int = 2,
+    broadcast_dem: bool = True,
+    dem_salt: int = 8,
 ) -> DataFrame:
     """Full enrichment of a geotagged image table.
 
-    Output: input columns + cell_r7/9 (+ the PIP join's res-8 cell),
+    Output: input columns + cell_r7/9 (+ the PIP join's res-mid cell),
     polygon_id, land_cover_class, land_cover_confidence, weather struct,
     weather_station_id, elevation, elevation_source, elevation_accuracy_m,
     enrich_status.
@@ -52,19 +58,43 @@ def enrich(
     station (composite spatio-temporal join, broadcast at dim scale) and a
     ``weather_historical_date`` column is added; when None, the station's
     static values are used (round-1 behavior).
+
+    ``res_low/mid/high``/``knn_res``/``knn_ring``: the EnrichConfig cell
+    resolutions and kNN bucket parameters (values exact for any setting).
+    ``broadcast_dem=False``: planetary-DEM plan — 1-NN stations via the
+    Arrow lookup, elevation via the salted co-partitioned cogroup
+    (operators/elevation.py) instead of the fused broadcast-grid UDF; use
+    when the DEM exceeds broadcast size.
     """
     valid = gps_valid(F.col("lat"), F.col("lon"))
     with_gps = images.filter(valid)
     no_gps = images.filter(~F.coalesce(valid, F.lit(False)))
 
     cells = (
-        with_gps.withColumn("cell_r7", grid.cell_of(F.col("lon"), F.col("lat"), grid.RES7))
-        .withColumn("cell_r9", grid.cell_of(F.col("lon"), F.col("lat"), grid.RES9))
+        with_gps.withColumn("cell_r7", grid.cell_of(F.col("lon"), F.col("lat"), res_low))
+        .withColumn("cell_r9", grid.cell_of(F.col("lon"), F.col("lat"), res_high))
     )
 
-    lc = landcover_pip_join(cells, landcover, res=grid.RES8)
+    lc = landcover_pip_join(cells, landcover, res=res_mid)
 
-    geo = fused_station_dem_lookup(lc, stations, dem_tiles)
+    if broadcast_dem:
+        geo = fused_station_dem_lookup(
+            lc, stations, dem_tiles, knn_res=knn_res, knn_ring=knn_ring
+        )
+    else:
+        from tiff_enrichment_pipeline_spark.operators.elevation import (
+            elevation_join,
+        )
+        from tiff_enrichment_pipeline_spark.operators.knn_join import (
+            knn_nearest,
+        )
+
+        geo = elevation_join(
+            knn_nearest(lc, stations),
+            dem_tiles,
+            broadcast_dem=False,
+            salt=dem_salt,
+        )
     # weather as a STRUCT, not map<string,double>: the reference's JSONB
     # payload (create-tables.sql:129) is schemaless, but per-row string map
     # keys cost real allocation bandwidth at 10^8 rows; a typed struct

@@ -49,13 +49,16 @@ def read_images(spark: SparkSession, location: str) -> DataFrame:
     if "/" not in location and iceberg_available(spark):
         return spark.read.table(location)
     df = spark.read.parquet(location)
-    return df.drop(*[c for c in df.columns if c.startswith("p_")])
+    # exactly the layout columns write_images adds — never a prefix match
+    # (a business column named e.g. p_hash must survive the round-trip)
+    return df.drop(*[c for c in _LAYOUT_COLS if c in df.columns])
 
 
 # coarse geo partition prefix: res-4 cell ≈ 22.5° — wide tiles keep
 # directory count bounded (≤ buckets × ~128 populated cells worldwide)
 # while still pruning continent-scale predicates
 _PART_CELL_RES = 4
+_LAYOUT_COLS = ("p_bucket", "p_cell")  # physical columns write_images adds
 
 
 def write_images(
@@ -121,33 +124,45 @@ def upsert_by_key(
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
         return
-    import shutil
-
     raw = spark.read.parquet(target_location)
     # preserve the physical layout: if the target was written partitioned
-    # (write_images p_* columns), the merged rewrite re-derives them via
+    # (write_images layout columns), the merged rewrite re-derives them via
     # write_images — otherwise one upsert would silently flatten the table
     # and kill partition pruning for every later read
-    was_partitioned = any(c.startswith("p_") for c in raw.columns)
-    existing = raw.drop(*[c for c in raw.columns if c.startswith("p_")])
+    was_partitioned = any(c in _LAYOUT_COLS for c in raw.columns)
+    existing = raw.drop(*[c for c in _LAYOUT_COLS if c in raw.columns])
     merged = existing.join(updates.select(key), key, "left_anti").unionByName(
         updates
     )
+
+    def _write(df: DataFrame, path: str) -> None:
+        if was_partitioned and key == "image_id":
+            write_images(df, path, mode="overwrite")
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    if "://" in target_location and not target_location.startswith("file:"):
+        # non-local filesystem (hdfs/s3a/…): os-level renames don't apply —
+        # rewrite through a tmp read (the pre-swap behavior). Non-atomic:
+        # a crash during the final overwrite needs a re-run from tmp.
+        tmp = target_location.rstrip("/") + "__merge_tmp"
+        _write(merged, tmp)
+        _write(spark.read.parquet(tmp), target_location)
+        return
+
+    import shutil
+
     tmp = target_location.rstrip("/") + "__merge_tmp"
     old = target_location.rstrip("/") + "__merge_old"
-    try:
-        if was_partitioned and key == "image_id":
-            write_images(merged, tmp, mode="overwrite")
-        else:
-            merged.write.mode("overwrite").parquet(tmp)
-        # swap via two directory renames (cheap metadata ops), NOT a Spark
-        # overwrite of the target (which deletes the target before the
-        # rewrite — a crash there loses the table). The window between the
-        # two renames is the only non-atomic instant; a crash there leaves
-        # the full table at __merge_old for manual recovery, never lost.
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.move(target_location, old)
-        shutil.move(tmp, target_location)
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write(merged, tmp)
+    # swap via two directory renames (cheap metadata ops), NOT a Spark
+    # overwrite of the target (which deletes the target before the rewrite
+    # — a crash there loses the table). The window between the two renames
+    # is the only non-atomic instant; a crash there leaves the NEW table at
+    # __merge_tmp and the old one at __merge_old — recoverable, never lost
+    # (tmp is deliberately NOT cleaned up on failure for that reason).
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(target_location, old)
+    shutil.move(tmp, target_location)
+    shutil.rmtree(old, ignore_errors=True)

@@ -12,7 +12,8 @@ exactly what Structured Streaming's ``applyInPandasWithState`` models
 - key: ``capture_id``; state: the bitmask of bands seen so far + first/last
   arrival timestamps;
 - a capture EMITS exactly once, in the micro-batch where its 5th band
-  lands (exactly-once per key given checkpointed state);
+  lands; the completed key keeps a TOMBSTONE state (full mask) until the
+  timeout so late/replayed band rows cannot resurrect it and emit twice;
 - stale incomplete captures time out via ``GroupStateTimeout.
   ProcessingTimeTimeout`` and emit a ``status='timeout'`` row carrying the
   bands they did get (the reference's "incomplete set" warning,
@@ -46,25 +47,34 @@ def _assemble(
     if state.hasTimedOut:
         mask, n = state.get
         state.remove()
-        bands = ",".join(str(b) for b in range(1, 6) if mask & (1 << (b - 1)))
-        yield pd.DataFrame(
-            {
-                "capture_id": [key[0]],
-                "n_bands": [n],
-                "bands": [bands],
-                "status": ["timeout"],
-            }
-        )
+        # a timed-out TOMBSTONE (already-emitted capture) expires silently
+        if mask != FULL_MASK:
+            bands = ",".join(
+                str(b) for b in range(1, 6) if mask & (1 << (b - 1))
+            )
+            yield pd.DataFrame(
+                {
+                    "capture_id": [key[0]],
+                    "n_bands": [n],
+                    "bands": [bands],
+                    "status": ["timeout"],
+                }
+            )
         return
     mask, n = state.get if state.exists else (0, 0)
+    already_complete = mask == FULL_MASK
     for pdf in pdfs:
         for b in pdf["band"]:
             b = int(b)
             if 1 <= b <= 5 and not mask & (1 << (b - 1)):
                 mask |= 1 << (b - 1)
                 n += 1
-    if mask == FULL_MASK:
-        state.remove()
+    if mask == FULL_MASK and not already_complete:
+        # emit exactly once, then keep a TOMBSTONE state (full mask) so
+        # late/replayed band rows can't resurrect the key and emit a
+        # spurious second row; the tombstone expires via the same timeout
+        state.update((FULL_MASK, 5))
+        state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(
             {
                 "capture_id": [key[0]],
@@ -74,6 +84,7 @@ def _assemble(
             }
         )
     else:
+        # incomplete (accumulate) or tombstoned (swallow late duplicates)
         state.update((mask, n))
         state.setTimeoutDuration(60 * 60 * 1000)  # 1 h — reference poll ×120
 
