@@ -1094,6 +1094,113 @@ def q_quality_score_sql() -> str:
     FROM documents"""
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus curation — the composite a real data
+    pipeline runs nightly, as ONE value-exact DAG: language gate (en) →
+    quality gate (≥0.5) → exact-dup survivor (min doc per md5) → LSH
+    near-dup cluster survivor (connected-components min) → kept docs +
+    audit columns saying which gates each doc passed. Every stage is
+    deterministic arithmetic, so the whole chain has a SQL oracle."""
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        predicted_lang,
+        quality_score,
+    )
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    d = _tp(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id",
+        (predicted_lang(F.col("text")) == "en").alias("lang_ok"),
+        (quality_score(F.col("text"), F.col("n_chars")) >= 0.5).alias(
+            "quality_ok"
+        ),
+        F.md5(F.col("text")).alias("_digest"),
+    )
+    exact_keep = gated.groupBy("_digest").agg(F.min("doc_id").alias("_kept"))
+    gated = gated.join(exact_keep, "_digest").withColumn(
+        "exact_survivor", F.col("doc_id") == F.col("_kept")
+    )
+    cc = connected_components(lsh_candidate_pairs(d)).select(
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("comp")).alias("_lsh_survivor"),
+    )
+    out = gated.join(cc, "doc_id", "left").withColumn(
+        "neardup_survivor", F.coalesce(F.col("_lsh_survivor"), F.lit(True))
+    )
+    return out.select(
+        "doc_id",
+        "lang_ok",
+        "quality_ok",
+        "exact_survivor",
+        "neardup_survivor",
+        (
+            F.col("lang_ok")
+            & F.col("quality_ok")
+            & F.col("exact_survivor")
+            & F.col("neardup_survivor")
+        ).alias("kept"),
+    )
+
+
+def q_corpus_curation_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        predicted_lang_sql,
+        quality_score_sql,
+    )
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        MINHASH_P, N_BANDS, minhash_sigs_sql,
+    )
+
+    lang = predicted_lang_sql("text")
+    qual = quality_score_sql("text", "n_chars")
+    sigs = minhash_sigs_sql("text")
+    cols = ", ".join(f"{s} AS sig{j}" for j, s in enumerate(sigs))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, sig{2*b}*{MINHASH_P}+sig{2*b+1} AS band_key "
+        f"FROM sig WHERE sig{2*b} IS NOT NULL"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH RECURSIVE gated AS (
+      SELECT doc_id,
+             ({lang}) = 'en' AS lang_ok,
+             ({qual}) >= 0.5 AS quality_ok,
+             md5(text) AS digest
+      FROM documents
+    ),
+    exact_keep AS (
+      SELECT digest, MIN(doc_id) AS kept FROM gated GROUP BY digest
+    ),
+    sig AS (SELECT doc_id, {cols} FROM documents),
+    bt AS ({bands}),
+    half AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bt a JOIN bt b ON a.band=b.band AND a.band_key=b.band_key
+      WHERE a.doc < b.doc
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM half
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM half
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    cc AS (SELECT n AS doc_id, n = MIN(m) AS lsh_survivor FROM reach GROUP BY n)
+    SELECT g.doc_id, g.lang_ok, g.quality_ok,
+           g.doc_id = ek.kept AS exact_survivor,
+           COALESCE(cc.lsh_survivor, TRUE) AS neardup_survivor,
+           g.lang_ok AND g.quality_ok AND g.doc_id = ek.kept
+             AND COALESCE(cc.lsh_survivor, TRUE) AS kept
+    FROM gated g
+    JOIN exact_keep ek ON g.digest = ek.digest
+    LEFT JOIN cc ON cc.doc_id = g.doc_id"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (ids < 10)."""
     from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
@@ -1193,6 +1300,7 @@ _EXTRA_QUERIES = {
     "lsh_dedup_clusters": q_lsh_dedup_clusters,
     "langid": q_langid,
     "quality_score": q_quality_score,
+    "corpus_curation": q_corpus_curation,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
@@ -1206,6 +1314,7 @@ _EXTRA_ORACLES = {
     "lsh_dedup_clusters": q_lsh_dedup_clusters_sql(),
     "langid": q_langid_sql(),
     "quality_score": q_quality_score_sql(),
+    "corpus_curation": q_corpus_curation_sql(),
     "ann_topk": q_ann_topk_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     # lsh_ann: intentionally no oracle (approximate, RNG hyperplanes)
