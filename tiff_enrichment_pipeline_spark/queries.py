@@ -1201,6 +1201,86 @@ def q_corpus_curation_sql() -> str:
     LEFT JOIN cc ON cc.doc_id = g.doc_id"""
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (input_hint `phash:int64`): banded
+    LSH over the 64-bit hash (4×16-bit bands — two hashes within hamming
+    distance ≤2 share ≥2 intact bands, so any shared band finds them
+    without an all-pairs scan), exact hamming refine via bit_count(xor).
+    Fixture phashes: groups of 10 images share a base hash with ≤1 flipped
+    bit each → pairwise hamming ≤2 within a group."""
+    img = geotables.images_geo(spark, sf_dir).select("image_id")
+    # 60-bit hash (15 hex chars): full 64 bits would overflow the signed
+    # cast under ANSI on the Spark side and BIGINT on the DuckDB side
+    base = F.conv(
+        F.substring(F.md5((F.col("image_id") / 10).cast("long").cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    # shiftleft's bit-count arg must be a column here → SQL expr form
+    flip = F.when(F.col("image_id") % 10 == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST((image_id*7) % 60 AS INT))")
+    )
+    with_hash = img.select(
+        "image_id", base.bitwiseXOR(flip).alias("phash")
+    ).filter(F.col("image_id") < 2000)
+    bands = with_hash.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "image_id", "phash",
+        F.col("_b")["band"].alias("band"), F.col("_b")["bkey"].alias("bkey"),
+    )
+    a = bands.select(
+        F.col("image_id").alias("img_a"), F.col("phash").alias("ha"),
+        "band", "bkey",
+    )
+    b = bands.select(
+        F.col("image_id").alias("img_b"), F.col("phash").alias("hb"),
+        "band", "bkey",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def q_phash_neardup_sql() -> str:
+    # image_id//10: DuckDB CAST(x/10) ROUNDS while Spark's cast truncates
+    base = "CAST(CAST(('0x' || substr(md5(CAST(image_id//10 AS VARCHAR)), 1, 15)) AS UINT64) AS BIGINT)"
+    flip = "CASE WHEN image_id % 10 = 0 THEN 0 ELSE (1::BIGINT << CAST((image_id*7) % 60 AS INT)) END"
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    h AS (
+      SELECT image_id, xor({base}, {flip}) AS phash
+      FROM images WHERE image_id < 2000
+    ),
+    bands AS (
+      SELECT image_id, phash, b.band,
+             (phash >> (16*b.band)) & 65535 AS bkey
+      FROM h, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.image_id < b.image_id
+      AND bit_count(xor(a.phash, b.phash)) <= 2"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (ids < 10)."""
     from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
@@ -1301,6 +1381,7 @@ _EXTRA_QUERIES = {
     "langid": q_langid,
     "quality_score": q_quality_score,
     "corpus_curation": q_corpus_curation,
+    "phash_neardup": q_phash_neardup,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
@@ -1315,6 +1396,7 @@ _EXTRA_ORACLES = {
     "langid": q_langid_sql(),
     "quality_score": q_quality_score_sql(),
     "corpus_curation": q_corpus_curation_sql(),
+    "phash_neardup": q_phash_neardup_sql(),
     "ann_topk": q_ann_topk_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     # lsh_ann: intentionally no oracle (approximate, RNG hyperplanes)
