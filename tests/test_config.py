@@ -95,8 +95,8 @@ def test_preflight_ok_and_failures(spark, tmp_path):
     with pytest.raises(HealthCheckError) as e:
         preflight(spark, str(tmp_path / "missing_dir"))
     msg = str(e.value)
-    # all three missing tables reported together
-    assert msg.count("input ") == 3
+    # every missing flagship input (orders, supplier) reported together
+    assert msg.count("input ") == 2
 
 
 def test_cli_config_file_paths_not_clobbered(spark, tmp_path):

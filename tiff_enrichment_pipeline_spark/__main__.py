@@ -47,15 +47,15 @@ def main(argv: list[str] | None = None) -> int:
         overrides["output_dir"] = args.output_dir
     cfg = EnrichConfig.from_dict(overrides)
 
-    from pyspark.sql import SparkSession
-
     from tiff_enrichment_pipeline_spark import geotables
     from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
     from tiff_enrichment_pipeline_spark.operators.lineage import RunRecorder
     from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+    from tiff_enrichment_pipeline_spark.session import get_spark
 
-    spark = SparkSession.builder.getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the tuned session factory (AQE, Arrow batch, UTC, broadcast
+    # threshold); master='inherit' keeps a spark-submit cluster master
+    spark = get_spark("tiff-enrichment-cli", master="inherit")
     t0 = time.time()
 
     from tiff_enrichment_pipeline_spark.health import preflight
@@ -93,7 +93,10 @@ def main(argv: list[str] | None = None) -> int:
             f"{cfg.output_dir}/_checkpoint", enrich_batch, schema=schema,
         )
         q.awaitTermination()
-        n = spark.read.parquet(f"{cfg.output_dir}/enriched").count()
+        try:
+            n = spark.read.parquet(f"{cfg.output_dir}/enriched").count()
+        except Exception:
+            n = 0  # drained stream produced zero micro-batches
     else:
         rec = RunRecorder("RUN_CLI")
         images = geotables.images_geo(spark, cfg.sf_dir)
@@ -110,9 +113,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         # partitioned layout (id-hash bucket + coarse cell) so later reads
-        # of the enriched table prune — partition_buckets from config
+        # of the enriched table prune — partition_buckets from config;
+        # the weather struct is kept (parquet nests structs fine)
         write_images(
-            result.drop("weather"), f"{cfg.output_dir}/enriched",
+            result, f"{cfg.output_dir}/enriched",
             mode="overwrite", buckets=cfg.partition_buckets,
         )
         out = read_images(spark, f"{cfg.output_dir}/enriched")

@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-REQUIRED_TABLES = ("orders", "supplier", "events")
+# what the flagship CLI actually reads (images ← orders, stations/obs ←
+# supplier; landcover/DEM are generated fixtures). Callers probing other
+# query surfaces pass their own ``tables``.
+REQUIRED_TABLES = ("orders", "supplier")
 
 
 class HealthCheckError(RuntimeError):
@@ -66,9 +69,12 @@ def preflight(
         marker = f"{output_dir}/_preflight"
         try:
             spark.range(1).write.mode("overwrite").parquet(marker)
-            import shutil
+            from tiff_enrichment_pipeline_spark.sources.images import (
+                _hadoop_delete,
+            )
 
-            shutil.rmtree(marker, ignore_errors=True)
+            # Hadoop FS delete, not shutil: works on hdfs/s3a/… too
+            _hadoop_delete(spark, marker)
             checks["output_writable"] = "ok"
         except Exception as e:
             errs.append(f"output {output_dir}: not writable: {e}")

@@ -230,7 +230,9 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is only OBSERVED one round after the last
+    # change, so a component of diameter exactly max_iter must not raise
+    for _ in range(max_iter + 1):
         neigh = (
             edges.join(
                 labels.select(F.col("node").alias("b"), "comp"), "b"

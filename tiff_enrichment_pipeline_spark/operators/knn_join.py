@@ -287,6 +287,8 @@ def _knn_arrow_idx(
     k: int,
     lon: str,
     lat: str,
+    res: int = 10,
+    ring: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """images + ``_knn_i`` array<struct<idx,d2>> (winner positions), plus the
     index→station payload table (broadcastable, same ordering as idx)."""
@@ -300,7 +302,7 @@ def _knn_arrow_idx(
     s_xyz = np.stack(
         [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
     )  # (S, 3)
-    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=10, ring=2)
+    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=res, ring=ring)
     sc = images.sparkSession.sparkContext
     bc = sc.broadcast((s_xyz, s_ids, cand_by_cell))
     kk = min(k, len(st_rows))
@@ -324,7 +326,9 @@ def _knn_arrow_idx(
         S, ids, cand = bc.value
         lat_v = plat.to_numpy(np.float64, na_value=np.nan)
         lon_v = plon.to_numpy(np.float64, na_value=np.nan)
-        idx, d2v = topk_bucketed_np(lat_v, lon_v, S, ids, cand, kk, res=10, ring=2)
+        idx, d2v = topk_bucketed_np(
+            lat_v, lon_v, S, ids, cand, kk, res=res, ring=ring
+        )
         cols: dict[str, np.ndarray] = {}
         for j in range(kk):
             cols[f"i{j}"] = idx[:, j]
@@ -345,11 +349,16 @@ def knn_nearest(
     stations: DataFrame,
     lon: str = "lon",
     lat: str = "lat",
+    res: int = 10,
+    ring: int = 2,
 ) -> DataFrame:
     """images + nearest station payload columns + ``dist_m`` — the 1-NN
     shape the enrichment plan consumes. One Arrow map stage + one broadcast
-    equi-join (codegen); nothing shuffles."""
-    with_idx, st_indexed, _ = _knn_arrow_idx(images, stations, k=1, lon=lon, lat=lat)
+    equi-join (codegen); nothing shuffles. ``res``/``ring``: candidate
+    buckets (exact for any setting)."""
+    with_idx, st_indexed, _ = _knn_arrow_idx(
+        images, stations, k=1, lon=lon, lat=lat, res=res, ring=ring
+    )
     out = (
         with_idx.withColumn("_st_idx", _safe_idx(F.col("_knn_i")["i0"]))
         .withColumn("dist_m", _chord2_to_m(F.col("_knn_i")["d0"]))

@@ -90,7 +90,7 @@ def enrich(
         )
 
         geo = elevation_join(
-            knn_nearest(lc, stations),
+            knn_nearest(lc, stations, res=knn_res, ring=knn_ring),
             dem_tiles,
             broadcast_dem=False,
             salt=dem_salt,

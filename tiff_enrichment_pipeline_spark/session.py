@@ -44,9 +44,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        # "inherit": spark-submit / an existing session decides the master
+        # (forcing local[N] would override a submitted cluster master)
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

@@ -61,6 +61,33 @@ _PART_CELL_RES = 4
 _LAYOUT_COLS = ("p_bucket", "p_cell")  # physical columns write_images adds
 
 
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API — works on ANY
+    configured scheme (local, hdfs, s3a, …), unlike shutil."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)
+
+
+def _write_layout_meta(spark: SparkSession, location: str, buckets: int) -> None:
+    """1-row parquet at ``<location>/_layout`` recording the bucket count.
+    Underscore-prefixed paths are invisible to Spark's table file index, so
+    reads of ``location`` never see it; upserts read it back to re-derive
+    p_bucket with the ORIGINAL modulus (a different modulus would scatter a
+    key's rows across bucket directories over successive merges)."""
+    spark.createDataFrame([(int(buckets),)], "buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{location}/_layout")
+
+
+def _read_layout_meta(spark: SparkSession, location: str) -> int | None:
+    try:
+        return spark.read.parquet(f"{location}/_layout").first()["buckets"]
+    except Exception:
+        return None
+
+
 def write_images(
     df: DataFrame,
     location: str,
@@ -106,6 +133,7 @@ def write_images(
         )
         part_cols.append("p_cell")
     out.write.mode(mode).partitionBy(*part_cols).parquet(location)
+    _write_layout_meta(spark, location, buckets)
 
 
 def upsert_by_key(
@@ -130,6 +158,10 @@ def upsert_by_key(
     # write_images — otherwise one upsert would silently flatten the table
     # and kill partition pruning for every later read
     was_partitioned = any(c in _LAYOUT_COLS for c in raw.columns)
+    # re-derive p_bucket with the ORIGINAL modulus (recorded at write time)
+    # — a different modulus would scatter a key's rows across bucket
+    # directories over successive merges
+    buckets = _read_layout_meta(spark, target_location) or 16
     existing = raw.drop(*[c for c in _LAYOUT_COLS if c in raw.columns])
     merged = existing.join(updates.select(key), key, "left_anti").unionByName(
         updates
@@ -137,17 +169,20 @@ def upsert_by_key(
 
     def _write(df: DataFrame, path: str) -> None:
         if was_partitioned and key == "image_id":
-            write_images(df, path, mode="overwrite")
+            write_images(df, path, mode="overwrite", buckets=buckets)
         else:
             df.write.mode("overwrite").parquet(path)
 
     if "://" in target_location and not target_location.startswith("file:"):
         # non-local filesystem (hdfs/s3a/…): os-level renames don't apply —
-        # rewrite through a tmp read (the pre-swap behavior). Non-atomic:
-        # a crash during the final overwrite needs a re-run from tmp.
+        # rewrite through a tmp read (2× write I/O is the price of not
+        # overwriting the input of its own read). Non-atomic: a crash
+        # during the final overwrite needs a re-run from tmp (kept until
+        # the final write succeeds, then deleted via the Hadoop FS API).
         tmp = target_location.rstrip("/") + "__merge_tmp"
         _write(merged, tmp)
         _write(spark.read.parquet(tmp), target_location)
+        _hadoop_delete(spark, tmp)
         return
 
     import shutil

@@ -12,12 +12,16 @@ exactly what Structured Streaming's ``applyInPandasWithState`` models
 - key: ``capture_id``; state: the bitmask of bands seen so far + first/last
   arrival timestamps;
 - a capture EMITS exactly once, in the micro-batch where its 5th band
-  lands; the completed key keeps a TOMBSTONE state (full mask) until the
-  timeout so late/replayed band rows cannot resurrect it and emit twice;
+  lands; every emitted key (complete OR timed out) keeps a TOMBSTONE
+  state for one further timeout period so late/replayed band rows cannot
+  resurrect it and emit a second row;
 - stale incomplete captures time out via ``GroupStateTimeout.
   ProcessingTimeTimeout`` and emit a ``status='timeout'`` row carrying the
   bands they did get (the reference's "incomplete set" warning,
-  main.py:98-99) — state is then freed, bounding the store.
+  main.py:98-99); the tombstone then expires silently, bounding the store.
+  Exactly-once holds for any late data arriving within the tombstone
+  window; beyond it (hours-late replays) semantics degrade to
+  at-least-once, as with any bounded dedup state.
 
 Scale shape: state is shuffled by uniform high-cardinality ``capture_id``
 (the same skew-free key the batch assembly groups on), one tiny bitmask
@@ -37,6 +41,7 @@ OUT_SCHEMA = (
 )
 STATE_SCHEMA = "mask int, n int"
 FULL_MASK = 0b11111  # bands 1..5
+TOMBSTONE = -1  # n-sentinel: key already emitted (complete or timeout)
 
 
 def _assemble(
@@ -44,36 +49,41 @@ def _assemble(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    # state: (mask, n); n == TOMBSTONE marks an already-emitted key
+    # (complete OR timed out) whose state lingers one timeout period so
+    # late/replayed bands cannot resurrect it and emit a second row
     if state.hasTimedOut:
         mask, n = state.get
-        state.remove()
-        # a timed-out TOMBSTONE (already-emitted capture) expires silently
-        if mask != FULL_MASK:
-            bands = ",".join(
-                str(b) for b in range(1, 6) if mask & (1 << (b - 1))
-            )
-            yield pd.DataFrame(
-                {
-                    "capture_id": [key[0]],
-                    "n_bands": [n],
-                    "bands": [bands],
-                    "status": ["timeout"],
-                }
-            )
+        if n == TOMBSTONE:
+            state.remove()  # quiet tombstone expires silently — state freed
+            return
+        bands = ",".join(str(b) for b in range(1, 6) if mask & (1 << (b - 1)))
+        # emit the timeout row, then tombstone (NOT remove) the key
+        state.update((mask, TOMBSTONE))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "capture_id": [key[0]],
+                "n_bands": [n],
+                "bands": [bands],
+                "status": ["timeout"],
+            }
+        )
         return
     mask, n = state.get if state.exists else (0, 0)
-    already_complete = mask == FULL_MASK
+    if n == TOMBSTONE:
+        # late data on an emitted key: swallow, extend the tombstone
+        state.update((mask, TOMBSTONE))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        return
     for pdf in pdfs:
         for b in pdf["band"]:
             b = int(b)
             if 1 <= b <= 5 and not mask & (1 << (b - 1)):
                 mask |= 1 << (b - 1)
                 n += 1
-    if mask == FULL_MASK and not already_complete:
-        # emit exactly once, then keep a TOMBSTONE state (full mask) so
-        # late/replayed band rows can't resurrect the key and emit a
-        # spurious second row; the tombstone expires via the same timeout
-        state.update((FULL_MASK, 5))
+    if mask == FULL_MASK:
+        state.update((FULL_MASK, TOMBSTONE))
         state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(
             {
@@ -84,7 +94,6 @@ def _assemble(
             }
         )
     else:
-        # incomplete (accumulate) or tombstoned (swallow late duplicates)
         state.update((mask, n))
         state.setTimeoutDuration(60 * 60 * 1000)  # 1 h — reference poll ×120
 
