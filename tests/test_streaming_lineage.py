@@ -296,3 +296,60 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
         assert ids == [1, 2, 3], ids  # duplicate id=1 dropped exactly once
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream equi+interval join with watermarks on both sides
+    (§2.9 depth beyond the reference's batch-rescan loop): band events
+    join GPS events for the same capture within ±10 minutes; state is
+    bounded by the watermark."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    bands_dir = str(tmp_path / "bands")
+    gps_dir = str(tmp_path / "gps")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    b_rows = [("CAP1", 1, "2024-01-01 10:00:00"),
+              ("CAP1", 2, "2024-01-01 10:01:00"),
+              ("CAP2", 1, "2024-01-01 12:00:00")]
+    g_rows = [("CAP1", 5.0, 52.0, "2024-01-01 10:05:00"),
+              ("CAP2", 6.0, 51.0, "2024-01-01 13:00:00")]  # 60 min late → no match
+    spark.createDataFrame(
+        b_rows, "capture_id string, band int, ts string"
+    ).select("capture_id", "band", F.col("ts").cast("timestamp").alias("b_ts")
+    ).coalesce(1).write.parquet(bands_dir)
+    spark.createDataFrame(
+        g_rows, "capture_id string, lon double, lat double, ts string"
+    ).select("capture_id", "lon", "lat", F.col("ts").cast("timestamp").alias("g_ts")
+    ).coalesce(1).write.parquet(gps_dir)
+
+    b_stream = (
+        spark.readStream.schema("capture_id string, band int, b_ts timestamp")
+        .parquet(bands_dir).withWatermark("b_ts", "30 minutes")
+    )
+    g_stream = (
+        spark.readStream.schema(
+            "capture_id string, lon double, lat double, g_ts timestamp"
+        ).parquet(gps_dir).withWatermark("g_ts", "30 minutes")
+    )
+    joined = b_stream.join(
+        g_stream,
+        (b_stream.capture_id == g_stream.capture_id)
+        & (b_stream.b_ts >= g_stream.g_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (b_stream.b_ts <= g_stream.g_ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(b_stream.capture_id, "band", "lon", "lat")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["capture_id"], r["band"]) for r in rows}
+    # CAP1's two bands match its GPS fix (within 10 min); CAP2's fix is
+    # 60 min after the band → no row
+    assert got == {("CAP1", 1), ("CAP1", 2)}
