@@ -353,3 +353,47 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # CAP1's two bands match its GPS fix (within 10 min); CAP2's fix is
     # 60 min after the band → no row
     assert got == {("CAP1", 1), ("CAP1", 2)}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows (gap-based) on a stream — the dynamic-window shape
+    the reference's fixed hourly buckets can't express: events within a
+    5-minute gap merge into one session per user."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:03:00"),  # session A
+        (1, "2024-01-01 10:20:00"),                               # session B
+        (2, "2024-01-01 10:00:00"),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(in_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    import uuid
+
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n"])
+        for r in spark.table(qname).collect()
+    }
+    # user 1: one 2-event session + one 1-event session; user 2: one session
+    assert got == {(1, 2), (1, 1), (2, 1)}
