@@ -62,12 +62,13 @@ def cell_of(lon: Column, lat: Column, k: int) -> Column:
     ix = F.greatest(ix, F.lit(0))
     iy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(ny - 1))
     iy = F.greatest(iy, F.lit(0))
-    ok = (
-        lon.isNotNull()
-        & lat.isNotNull()
-        & ~F.isnan(lon.cast("double"))
-        & ~F.isnan(lat.cast("double"))
-    )
+    # cheap guard in the hottest codegen loop: lon+lat is NaN if either is
+    # NaN and NULL if either is NULL (note Spark's isnan(NULL) is false,
+    # so the null check is separate) — two predicates on one sum instead
+    # of four per-column predicates (which measurably slowed the 8-core
+    # JVM-only arm)
+    s = lon.cast("double") + lat.cast("double")
+    ok = s.isNotNull() & ~F.isnan(s)
     cell = (F.lit(k) * F.lit(_K_SHIFT) + ix * F.lit(_IX_SHIFT) + iy).cast("long")
     return F.when(ok, cell)
 
