@@ -67,6 +67,9 @@ def run_default() -> None:
         "cell_encode", "pip_landcover", "knn_weather", "knn_weather_dated",
         "elevation", "status_summary", "hourly_api_stats", "capture_assembly",
         "dedup_checksum", "percentiles",
+        # round-3 breadth: the dedup/multimodal stack gets the same
+        # regression guard the geo stack has (VERDICT r2 #8)
+        "lsh_dedup_clusters", "phash_neardup", "multimodal_features",
     ]
     times: dict[str, float] = {}
 

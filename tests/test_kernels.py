@@ -85,6 +85,69 @@ def test_codec_roundtrip_and_psnr():
     p = codec.psnr_db(band, lossy)
     assert p >= 40.0  # the input_hint lossy invariant
     assert codec.psnr_db(band, band) == float("inf")
+    # png (pure-stdlib codec): bit-exact roundtrip — lossless, PSNR = inf
+    png = codec.decode(codec.encode_png_u16(band), 64, 64, "png")
+    assert np.array_equal(png, band)
+    assert codec.is_lossless("png")
+    assert codec.psnr_db(band, png) == float("inf")
+
+
+def test_png_all_filters_and_guards():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # decoder handles every scanline filter (spec §9): build an 8-bit
+    # grayscale PNG whose rows cycle None/Sub/Up/Average/Paeth
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 17)).astype(np.uint8)
+    h, w = img.shape
+    body = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = img[y].astype(np.int32)
+        enc = np.zeros(w, np.int32)
+        for i in range(w):
+            a = int(cur[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) % 256
+        body.append(f)
+        body.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def ch(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + ch(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + ch(b"IDAT", zlib.compress(bytes(body)))
+        + ch(b"IEND", b"")
+    )
+    assert np.array_equal(codec.decode_png_u16(png), img.astype(np.uint16))
+
+    with pytest.raises(ValueError, match="signature"):
+        codec.decode_png_u16(b"not a png")
+    with pytest.raises(ValueError, match="dimensions"):
+        codec.decode(codec.encode_png_u16(img.astype(np.uint16)), 5, 5, "png")
 
 
 def test_align_band_identity_and_shift():

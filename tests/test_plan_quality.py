@@ -95,6 +95,22 @@ def test_knn_plan_size_independent_of_station_count(spark):
     assert lb < ls * 2, (ls, lb)
 
 
+def test_knn_hof_single_probe_scan(spark):
+    """The hof strategy must scan the probe ONCE: the certified /
+    uncertified branches are a CASE inside one projection, not a
+    filter/filter/union that re-reads the source (round-2 audit item)."""
+    import tiff_enrichment_pipeline_spark.operators.knn_join as kj
+
+    img = geotables.images_geo(spark, SF).select("image_id", "lon", "lat")
+    st = geotables.stations(spark, SF)
+    df = kj._knn_hof(img, st, k=2)
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    # the probe (orders-derived) relation must appear exactly once; the
+    # tiny station dim (supplier-derived) may appear in both the ring and
+    # fallback builds
+    assert plan.count("Relation [o_orderkey") == 1, plan
+
+
 def test_streaming_reuses_real_enrich(spark, tmp_path):
     """The watcher must run the REAL enrichment DAG per micro-batch
     (broadcasts + Arrow UDFs inside foreachBatch) — batch/streaming share

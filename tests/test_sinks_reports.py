@@ -168,6 +168,68 @@ def test_upsert_cleans_tmp_dirs(spark, tmp_path):
     assert not any("__merge" in s for s in siblings), siblings
 
 
+def test_upsert_file_scheme_uri(spark, tmp_path):
+    """A file:-qualified target (file:///x — '://' present; file:/x — no
+    '://') must go through the scheme-aware Hadoop-FS rename swap, not
+    shutil (which can't operate on URI strings) and not the 2×-write
+    remote-rewrite branch (round-2 ADVICE item)."""
+    import os
+
+    from tiff_enrichment_pipeline_spark.sources.images import upsert_by_key
+
+    for uri_prefix in ("file://", "file:"):
+        d = tmp_path / f"tbl_{uri_prefix.count('/')}"
+        target = uri_prefix + str(d)
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "image_id long, v string"
+        ).write.parquet(target)
+        upd = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "image_id long, v string"
+        )
+        upsert_by_key(spark, target, upd, key="image_id")
+        got = {
+            r["image_id"]: r["v"] for r in spark.read.parquet(target).collect()
+        }
+        assert got == {1: "a", 2: "B", 3: "c"}, uri_prefix
+        siblings = os.listdir(tmp_path)
+        assert not any("__merge" in s for s in siblings), siblings
+
+
+def test_append_inherits_recorded_bucket_layout(spark, tmp_path):
+    """write_images(append) must reuse the RECORDED bucket modulus (and not
+    clobber _layout): appending with a different `buckets` arg would
+    scatter a key's rows across bucket dirs (round-2 ADVICE item)."""
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.sources.images import (
+        _read_layout_meta,
+        write_images,
+    )
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001").filter(
+        F.col("image_id") < 200
+    )
+    path = str(tmp_path / "tbl")
+    write_images(img.filter(F.col("image_id") < 100), path,
+                 mode="overwrite", buckets=4)
+    with pytest.warns(UserWarning, match="recorded"):
+        write_images(
+            img.filter(F.col("image_id") >= 100), path,
+            mode="append", buckets=16,
+        )
+    assert _read_layout_meta(spark, path) == 4
+    # every image_id lives in exactly ONE bucket directory (modulus-4 for
+    # all rows, old and appended)
+    raw = spark.read.parquet(path)
+    multi = (
+        raw.groupBy("image_id")
+        .agg(F.countDistinct("p_bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert multi == 0
+    assert raw.select("p_bucket").distinct().count() <= 4
+
+
 def test_percentiles_approx_close_to_exact(spark):
     """A3 scale path: percentile_approx(accuracy=10000) must agree with the
     exact variant within sketch error on the fixture (rank error ≤ n/1e4 —

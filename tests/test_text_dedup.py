@@ -105,6 +105,73 @@ def test_brute_force_topk_vs_numpy(spark):
             assert got[(q, rank)] == sims[rank - 1][1]
 
 
+def test_star_cc_matches_label_propagation_and_is_faster(spark):
+    """Alternating large-star/small-star CC must produce the identical
+    (node, comp) labels as min-label propagation on random graphs AND
+    converge in fewer rounds on a high-diameter chain (the whole point:
+    O(log² n) rounds vs one round per hop)."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 40
+        m = int(rng.integers(10, 50))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (m, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        lab = {
+            (r["node"], r["comp"])
+            for r in connected_components(df).collect()
+        }
+        star = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == lab, f"trial {trial}"
+
+    # 17-node chain: label propagation needs ~diameter rounds; star
+    # contracts exponentially
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 17)], "doc_a long, doc_b long"
+    )
+    r_label, r_star = [], []
+    lab = {
+        r["comp"] for r in connected_components(
+            chain, max_iter=30, rounds_out=r_label
+        ).collect()
+    }
+    star = {
+        r["comp"] for r in connected_components_star(
+            chain, rounds_out=r_star
+        ).collect()
+    }
+    assert lab == star == {1}
+    assert r_star[0] < r_label[0], (r_star, r_label)
+
+
+def test_brute_force_topk_guards_big_corpus(spark):
+    """The full-corpus collect is the exactness BASELINE — beyond
+    max_corpus it must refuse (driver OOM) and point at the scale paths."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ivf_probe_pruned"):
+        brute_force_topk(df, df, k=3, max_corpus=10)
+    # and still works when the cap is explicitly raised
+    assert brute_force_topk(df, df, k=1, max_corpus=20).count() == 20
+
+
 def test_lsh_topk_recall(spark):
     rng = np.random.default_rng(11)
     base = rng.standard_normal((40, 16))

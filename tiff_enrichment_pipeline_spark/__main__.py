@@ -82,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 res_mid=cfg.cell_res_mid, res_high=cfg.cell_res_high,
                 knn_res=cfg.knn_res, knn_ring=cfg.knn_ring,
                 broadcast_dem=cfg.broadcast_dem, dem_salt=cfg.dem_salt,
+                broadcast_obs=cfg.broadcast_obs,
             )
 
         schema = (
@@ -106,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
             res_mid=cfg.cell_res_mid, res_high=cfg.cell_res_high,
             knn_res=cfg.knn_res, knn_ring=cfg.knn_ring,
             broadcast_dem=cfg.broadcast_dem, dem_salt=cfg.dem_salt,
+            broadcast_obs=cfg.broadcast_obs,
         )
         from tiff_enrichment_pipeline_spark.sources.images import (
             read_images,

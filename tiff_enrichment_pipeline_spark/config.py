@@ -52,8 +52,11 @@ class EnrichConfig:
     # enrich(broadcast_dem/dem_salt)
     broadcast_dem: bool = True
     dem_salt: int = 8
-    # dated weather dimension — enrich(observations=...)
+    # dated weather dimension — enrich(observations=...); broadcast_obs
+    # False = planetary |stations|×|days| dim too big to broadcast — let
+    # AQE plan the (station_id, date) equi-join — enrich(broadcast_obs=...)
     use_observations: bool = True
+    broadcast_obs: bool = True
     # image/enriched table layout — write_images(buckets=...)
     partition_buckets: int = 16
 
@@ -88,7 +91,7 @@ class EnrichConfig:
             v = getattr(self, name)
             if not isinstance(v, str) or not v:
                 errs.append(f"{name}={v!r}: must be a non-empty string")
-        for name in ("broadcast_dem", "use_observations"):
+        for name in ("broadcast_dem", "use_observations", "broadcast_obs"):
             v = getattr(self, name)
             if not isinstance(v, bool):
                 errs.append(f"{name}={v!r}: must be a bool")

@@ -65,9 +65,11 @@ def images_pdf(n_captures: int = 20) -> pd.DataFrame:
         lat, lon, alt = image_geotag(cap)
         for band in range(1, 6):
             px = pixel_band(cap, band)
-            fmt = "lossy-q12" if (cap * 5 + band) % 11 == 3 else "raw-u16"
+            sel = (cap * 5 + band) % 11
+            fmt = "lossy-q12" if sel == 3 else "png" if sel == 7 else "raw-u16"
             payload = (
                 codec.encode_lossy_q12(px) if fmt == "lossy-q12"
+                else codec.encode_png_u16(px) if fmt == "png"
                 else codec.encode_raw_u16(px)
             )
             caption = (
@@ -270,6 +272,7 @@ def band_rows_from_orders(
             px = pixel_band(int(c), int(b))
             out.append(
                 codec.encode_lossy_q12(px) if f == "lossy-q12"
+                else codec.encode_png_u16(px) if f == "png"
                 else codec.encode_raw_u16(px)
             )
         return pd.Series(out)
@@ -281,9 +284,11 @@ def band_rows_from_orders(
         (F.col("image_id") / capture_modulo).cast("long").alias("capture_no"),
         "lat", "lon", "alt",
     ).withColumn("band", F.explode(F.array(*[F.lit(b) for b in range(1, 6)])))
-    fmt = F.when(
-        (F.col("capture_no") * 5 + F.col("band")) % 11 == 3, "lossy-q12"
-    ).otherwise("raw-u16")
+    fmt = (
+        F.when((F.col("capture_no") * 5 + F.col("band")) % 11 == 3, "lossy-q12")
+        .when((F.col("capture_no") * 5 + F.col("band")) % 11 == 7, "png")
+        .otherwise("raw-u16")
+    )
     return (
         bands.withColumn("fmt", fmt)
         .withColumn(

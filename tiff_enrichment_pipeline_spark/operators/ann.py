@@ -43,12 +43,28 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_corpus: int = 1_000_000,
 ) -> DataFrame:
     """query rows + (rank, neighbor_id, cosine) — exact cosine top-k.
 
     Output columns: all query columns, rank int, neighbor_id long,
     cosine double.
+
+    This is the declared EXACTNESS BASELINE: it collects + broadcasts the
+    corpus, valid only for broadcastable corpora. ``max_corpus`` guards
+    against misuse — beyond it the corpus-proportional collect would OOM
+    the driver, so we raise and point at the scale paths instead.
     """
+    n_corpus = corpus.count()
+    if n_corpus > max_corpus:
+        raise ValueError(
+            f"brute_force_topk: corpus has {n_corpus} rows > max_corpus="
+            f"{max_corpus}; the full-corpus collect+broadcast is the "
+            "exactness baseline for broadcastable corpora only — use "
+            "ivf_probe_pruned (persisted partition-pruned IVF index) or "
+            "lsh_topk for corpora beyond broadcast size, or raise "
+            "max_corpus explicitly if the driver can hold it"
+        )
     ids, C = _corpus_matrix(corpus, id_col, vec_col)
     sc = queries.sparkSession.sparkContext
     bc_ids, bc_C = sc.broadcast(ids), sc.broadcast(C)

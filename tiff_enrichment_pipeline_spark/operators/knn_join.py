@@ -377,6 +377,8 @@ def nearest_station_dated(
     lat: str = "lat",
     ts: str = "captured_at",
     broadcast_obs: bool = True,
+    res: int = 10,
+    ring: int = 2,
 ) -> DataFrame:
     """Composite spatio-temporal weather join: nearest station *spatially*,
     then equi-join the station's observation for the capture date
@@ -388,8 +390,9 @@ def nearest_station_dated(
     uniform composite key (station_id, date) — broadcast when the
     observation dimension fits (``broadcast_obs=True``); otherwise a
     skew-free shuffle (dates and station ids are both uniform, geographic
-    hot cells never reach the key)."""
-    nn = knn_nearest(images, stations, lon=lon, lat=lat)
+    hot cells never reach the key). ``res``/``ring``: 1-NN candidate
+    buckets, forwarded to knn_nearest (exact for any setting)."""
+    nn = knn_nearest(images, stations, lon=lon, lat=lat, res=res, ring=ring)
     obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
     if broadcast_obs:
         obs = F.broadcast(obs)
@@ -500,29 +503,27 @@ def _knn_hof(
         F.lit(False),
     )
 
-    # NOTE: the certified/uncertified split evaluates `joined` (probe scan +
-    # ring broadcast join + certification sort) once per branch — a
-    # deliberate 2× map-side cost on this NON-default strategy, traded for
-    # zero caching lifecycle inside the operator and an O(1)-size plan
-    # (the arrow strategy is the hot path and scans once).
+    # SINGLE-SCAN plan: one projection with a CASE over both candidate
+    # sets (certified → ring candidates; uncertified-with-GPS → full-set
+    # rescan; no GPS → NULL). The full station array arrives as ONE
+    # broadcast row (crossJoin of a 1-row aggregate — plan stays O(1) in
+    # |stations|) and is dropped in the same projection, so it is only
+    # *evaluated* on the uncertified branch (codegen CASE short-circuits)
+    # and never survives into downstream rows. Replaces the former
+    # filter/filter/union shape that scanned the probe + ring join twice.
     helper = ["_cell", "_ring_stations", "_px", "_py", "_pz"]
-    cert_df = joined.filter(certified).withColumn(
-        "knn", topk(F.col("_ring_stations"))
-    )
-    # uncertified rows (sparse ring, or no GPS) rescan the full station set,
-    # attached as ONE broadcast row (crossJoin of a 1-row aggregate) — the
-    # array is only materialized for this (small) split, never row-copied
-    # across the whole probe, and the plan stays O(1) in |stations|
-    uncert_df = (
-        joined.filter(~certified)
-        .crossJoin(F.broadcast(fallback_df))
+    return (
+        joined.crossJoin(F.broadcast(fallback_df))
         .withColumn(
             "knn",
-            F.when(_gps_ok(F.col(lat), F.col(lon)), topk(F.col("_all_st"))),
+            F.when(certified, topk(F.col("_ring_stations"))).otherwise(
+                F.when(
+                    _gps_ok(F.col(lat), F.col(lon)), topk(F.col("_all_st"))
+                )
+            ),
         )
-        .drop("_all_st")
+        .drop("_all_st", *helper)
     )
-    return cert_df.unionByName(uncert_df).drop(*helper)
 
 
 def knn_station_join(

@@ -68,31 +68,54 @@ def polygon_cell_cover(polygons: DataFrame, res: int = grid.RES8) -> DataFrame:
 def _pip_even_odd(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
-    """Even-odd (ray-casting) point-in-polygon, Arrow-batched.
+    """Even-odd (ray-casting) point-in-polygon, Arrow-batched AND
+    numpy-vectorized across the whole batch: ragged vertex rings are packed
+    into a zero-padded (batch, max_verts) matrix and every edge test runs
+    as one broadcast expression — no per-row/per-vertex Python loop.
 
-    vertices arrive as list-of-dict rows; the half-open edge convention
-    ([ymin,ymax) in y, strict x) keeps shared-edge points in exactly one
-    polygon of a tiling.
+    The half-open edge convention ([ymin,ymax) in y, strict x) keeps
+    shared-edge points in exactly one polygon of a tiling.
     """
     for lon, lat, verts in it:
-        out = np.zeros(len(lon), dtype=bool)
-        lon_v, lat_v = lon.to_numpy(np.float64), lat.to_numpy(np.float64)
-        for i, vs in enumerate(verts):
-            if vs is None:
-                continue
-            xs = np.array([v["x"] for v in vs], dtype=np.float64)
-            ys = np.array([v["y"] for v in vs], dtype=np.float64)
-            x, y = lon_v[i], lat_v[i]
-            j = len(xs) - 1
-            inside = False
-            for k in range(len(xs)):
-                if (ys[k] > y) != (ys[j] > y):
-                    x_int = xs[k] + (y - ys[k]) / (ys[j] - ys[k]) * (xs[j] - xs[k])
-                    if x < x_int:
-                        inside = not inside
-                j = k
-            out[i] = inside
-        yield pd.Series(out)
+        B = len(lon)
+        x = lon.to_numpy(np.float64)
+        y = lat.to_numpy(np.float64)
+        polys = list(verts)
+        n_v = np.array(
+            [0 if vs is None else len(vs) for vs in polys], dtype=np.int64
+        )
+        vmax = int(n_v.max()) if B else 0
+        if vmax == 0:
+            yield pd.Series(np.zeros(B, dtype=bool))
+            continue
+        # pack ragged rings: one flat gather, one fancy-index scatter
+        # (`vs` may be a numpy object array — test identity/length, never
+        # truthiness)
+        flat_x = np.fromiter(
+            (v["x"] for vs in polys if vs is not None for v in vs), np.float64
+        )
+        flat_y = np.fromiter(
+            (v["y"] for vs in polys if vs is not None for v in vs), np.float64
+        )
+        rows = np.repeat(np.arange(B), n_v)
+        cols = np.arange(n_v.sum()) - np.repeat(np.cumsum(n_v) - n_v, n_v)
+        X = np.zeros((B, vmax))
+        Y = np.zeros((B, vmax))
+        X[rows, cols] = flat_x
+        Y[rows, cols] = flat_y
+        # previous-vertex gather per row (edge k pairs vertex k with k-1
+        # mod n_v — the classic j=k-1 wraparound, vectorized)
+        k = np.arange(vmax)[None, :]
+        safe_n = np.maximum(n_v, 1)[:, None]
+        jidx = (k - 1) % safe_n
+        Xj = np.take_along_axis(X, jidx, axis=1)
+        Yj = np.take_along_axis(Y, jidx, axis=1)
+        yb = y[:, None]
+        straddles = (Y > yb) != (Yj > yb)  # implies Yj != Y where True
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = X + (yb - Y) / (Yj - Y) * (Xj - X)
+        cross = (k < n_v[:, None]) & straddles & (x[:, None] < x_int)
+        yield pd.Series((cross.sum(axis=1) % 2).astype(bool))
 
 
 def pip_refine_predicate(lon: Column, lat: Column) -> Column:

@@ -43,6 +43,7 @@ def enrich(
     knn_ring: int = 2,
     broadcast_dem: bool = True,
     dem_salt: int = 8,
+    broadcast_obs: bool = True,
 ) -> DataFrame:
     """Full enrichment of a geotagged image table.
 
@@ -65,6 +66,12 @@ def enrich(
     Arrow lookup, elevation via the salted co-partitioned cogroup
     (operators/elevation.py) instead of the fused broadcast-grid UDF; use
     when the DEM exceeds broadcast size.
+
+    ``broadcast_obs=False``: planetary observation dimension
+    (|stations|×|days| can reach 1e9 rows — geotables.weather_observations
+    docstring) — drop the forced broadcast of the obs join and let AQE pick
+    the strategy; the composite (station_id, date) key is uniform, so the
+    shuffle is skew-free.
     """
     valid = gps_valid(F.col("lat"), F.col("lon"))
     with_gps = images.filter(valid)
@@ -102,11 +109,11 @@ def enrich(
     drop_cols = ["st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m"]
     if observations is not None:
         obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
+        if broadcast_obs:
+            obs = F.broadcast(obs)
         geo = geo.withColumn(
             "weather_historical_date", F.to_date(F.col(ts))
-        ).join(
-            F.broadcast(obs), ["station_id", "weather_historical_date"], "left"
-        )
+        ).join(obs, ["station_id", "weather_historical_date"], "left")
         weather = F.struct(
             F.col("obs_temp_c").alias("temp_c"),
             F.col("obs_wind_ms").alias("wind_ms"),

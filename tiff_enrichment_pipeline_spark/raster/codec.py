@@ -12,8 +12,13 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   brief the decode of true compressed formats is STUBBED; this format
   exists to exercise the PSNR≥40 dB lossy invariant end-to-end with real
   Spark plumbing. PSNR of q12 vs original ≈ 48 dB > 40 dB.
-- ``png``/``tiff``/… : gated behind optional imports; raise
-  NotImplementedError when the codec library is absent.
+- ``png``        : REAL 16-bit (and 8-bit) grayscale PNG, implemented on
+  stdlib ``zlib`` + ``struct`` alone — chunk parse, IDAT inflate, and all
+  five scanline de-filters (None/Sub/Up/Average/Paeth). Lossless; mirrors
+  the reference's compressed-raster handling
+  (src/pipeline/utils/rasterio_utils.py:70-116) without any codec lib.
+- ``tiff``/… : gated behind optional imports; raise NotImplementedError
+  when the codec library is absent.
 
 PSNR (peak 65535) is the per-row invariant from BASELINE.json input_hint:
 decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
@@ -21,9 +26,14 @@ decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 PEAK_U16 = 65535.0
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def encode_raw_u16(band: np.ndarray) -> bytes:
@@ -40,27 +50,148 @@ def encode_lossy_q12(band: np.ndarray) -> bytes:
     return encode_raw_u16(q)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    body = typ + data
+    return (
+        struct.pack(">I", len(data))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_u16(band: np.ndarray, level: int = 6) -> bytes:
+    """Grayscale 16-bit PNG (colour type 0, bit depth 16, non-interlaced),
+    stdlib-only. Scanlines use filter 0 (None) — deflate alone already
+    captures most raster redundancy and keeps encode vector-cheap."""
+    h, w = band.shape
+    raw = np.ascontiguousarray(band.astype(">u2")).tobytes()  # PNG = big-endian
+    stride = w * 2
+    # prepend one filter byte (0) per scanline in a single numpy pass
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    scan = np.concatenate([np.zeros((h, 1), np.uint8), mat], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_u16(payload: bytes) -> np.ndarray:
+    """Grayscale PNG decode (bit depth 8 or 16, colour type 0,
+    non-interlaced) → uint16 array. Stdlib zlib + full scanline
+    de-filtering: None(0)/Sub(1)/Up(2)/Average(3)/Paeth(4). Filters 0/2
+    are numpy-vectorized (the common raster cases); 1/3/4 fall back to the
+    sequential per-byte recurrence the spec mandates."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if color != 0:
+                raise NotImplementedError(
+                    f"png colour type {color}: only grayscale (0) supported"
+                )
+            if depth not in (8, 16):
+                raise NotImplementedError(f"png bit depth {depth}")
+            if interlace != 0:
+                raise NotImplementedError("interlaced png not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid png compression/filter method")
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("png missing IHDR")
+    bpp = depth // 8  # bytes per pixel (grayscale)
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png scanline data length mismatch")
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = mat[:, 0]
+    rows = mat[:, 1:].astype(np.int32)  # headroom for the mod-256 adds
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = rows[y]
+        if f == 0:
+            line = cur
+        elif f == 2:
+            line = (cur + prev) % 256
+        elif f in (1, 3, 4):
+            line = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[i]) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pred = _paeth_predict(a, int(prev[i]), c)
+                line[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown png filter {f}")
+        out[y] = line.astype(np.uint8)
+    if depth == 16:
+        return (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .reshape(h, w)
+            .astype(np.uint16)
+        )
+    return out.reshape(h, w).astype(np.uint16)
+
+
 def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one band payload → uint16 (h, w). Vector-friendly: call per
     row *inside* an Arrow batch, never as a row-at-a-time Python UDF."""
     if fmt in ("raw-u16", "lossy-q12"):
         return decode_raw_u16(payload, w, h)
     if fmt == "png":
+        arr = decode_png_u16(payload)
+        if arr.shape != (h, w):
+            raise ValueError(
+                f"png dimensions {arr.shape} != metadata ({h}, {w})"
+            )
+        return arr
+    if fmt == "tiff":
         try:
             import io
 
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:  # codec libs absent in this container
             raise NotImplementedError(
-                "png decode requires Pillow (not installed); "
-                "use raw-u16/lossy-q12 or ship Pillow via --py-files env"
+                "tiff decode requires Pillow (not installed); "
+                "use raw-u16/lossy-q12/png or ship Pillow via --py-files env"
             ) from e
         return np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt == "raw-u16"
+    return fmt in ("raw-u16", "png")
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray, peak: float = PEAK_U16) -> float:

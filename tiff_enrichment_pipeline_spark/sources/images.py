@@ -70,6 +70,27 @@ def _hadoop_delete(spark: SparkSession, path: str) -> None:
     p.getFileSystem(conf).delete(p, True)
 
 
+def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Directory rename via the Hadoop FileSystem API (metadata op on
+    local/HDFS) — scheme-agnostic, unlike shutil.move which treats a
+    ``file:/x`` URI as a relative OS path."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    return s.getFileSystem(conf).rename(s, jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def _scheme_of(location: str) -> str | None:
+    """URI scheme of ``location`` (``file``, ``hdfs``, ``s3a``, …) or None
+    for a plain OS path. Handles both ``scheme://`` and the no-authority
+    ``file:/x`` form; a Windows-style drive letter never matches because
+    schemes must be ≥2 chars here."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):", location)
+    return m.group(1).lower() if m else None
+
+
 def _write_layout_meta(spark: SparkSession, location: str, buckets: int) -> None:
     """1-row parquet at ``<location>/_layout`` recording the bucket count.
     Underscore-prefixed paths are invisible to Spark's table file index, so
@@ -123,6 +144,20 @@ def write_images(
         return
     from tiff_enrichment_pipeline_spark import grid
 
+    # appends must honor the table's RECORDED bucket modulus — deriving
+    # p_bucket from the call-site arg would scatter a key's rows across
+    # bucket directories and break upsert_by_key's layout invariant
+    recorded = _read_layout_meta(spark, location) if mode == "append" else None
+    if recorded is not None and recorded != buckets:
+        import warnings
+
+        warnings.warn(
+            f"write_images(append): requested buckets={buckets} != recorded "
+            f"layout buckets={recorded} at {location}; using the recorded "
+            "value (appends inherit the table layout)",
+            stacklevel=2,
+        )
+        buckets = recorded
     out = df.withColumn(
         "p_bucket", F.pmod(F.xxhash64(F.col("image_id")), F.lit(buckets))
     )
@@ -133,7 +168,11 @@ def write_images(
         )
         part_cols.append("p_cell")
     out.write.mode(mode).partitionBy(*part_cols).parquet(location)
-    _write_layout_meta(spark, location, buckets)
+    # record the layout on create/overwrite, or on first append to a fresh
+    # location; NEVER rewrite an existing record on append (the modulus is
+    # an immutable property of the layout)
+    if recorded is None:
+        _write_layout_meta(spark, location, buckets)
 
 
 def upsert_by_key(
@@ -173,31 +212,38 @@ def upsert_by_key(
         else:
             df.write.mode("overwrite").parquet(path)
 
-    if "://" in target_location and not target_location.startswith("file:"):
-        # non-local filesystem (hdfs/s3a/…): os-level renames don't apply —
-        # rewrite through a tmp read (2× write I/O is the price of not
-        # overwriting the input of its own read). Non-atomic: a crash
-        # during the final overwrite needs a re-run from tmp (kept until
-        # the final write succeeds, then deleted via the Hadoop FS API).
+    scheme = _scheme_of(target_location)
+    if scheme is not None and scheme != "file":
+        # object stores / remote fs (hdfs/s3a/…) where a directory rename
+        # is not a cheap metadata op: rewrite through a tmp read (2× write
+        # I/O is the price of not overwriting the input of its own read).
+        # Non-atomic: a crash during the final overwrite needs a re-run
+        # from tmp (kept until the final write succeeds, then deleted via
+        # the Hadoop FS API).
         tmp = target_location.rstrip("/") + "__merge_tmp"
         _write(merged, tmp)
         _write(spark.read.parquet(tmp), target_location)
         _hadoop_delete(spark, tmp)
         return
 
-    import shutil
-
+    # plain OS path or file:-qualified URI (file:///x, file:/x): swap via
+    # two directory renames (cheap metadata ops) through the Hadoop FS API
+    # — shutil cannot operate on URI strings, and a Spark overwrite of the
+    # target deletes it before the rewrite (a crash there loses the table).
+    # The window between the two renames is the only non-atomic instant; a
+    # crash there leaves the NEW table at __merge_tmp and the old one at
+    # __merge_old — recoverable, never lost (tmp is deliberately NOT
+    # cleaned up on failure for that reason).
     tmp = target_location.rstrip("/") + "__merge_tmp"
     old = target_location.rstrip("/") + "__merge_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    _hadoop_delete(spark, tmp)
     _write(merged, tmp)
-    # swap via two directory renames (cheap metadata ops), NOT a Spark
-    # overwrite of the target (which deletes the target before the rewrite
-    # — a crash there loses the table). The window between the two renames
-    # is the only non-atomic instant; a crash there leaves the NEW table at
-    # __merge_tmp and the old one at __merge_old — recoverable, never lost
-    # (tmp is deliberately NOT cleaned up on failure for that reason).
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(target_location, old)
-    shutil.move(tmp, target_location)
-    shutil.rmtree(old, ignore_errors=True)
+    _hadoop_delete(spark, old)
+    if not _hadoop_rename(spark, target_location, old):
+        raise IOError(f"upsert swap: rename {target_location} -> {old} failed")
+    if not _hadoop_rename(spark, tmp, target_location):
+        raise IOError(
+            f"upsert swap: rename {tmp} -> {target_location} failed; "
+            f"previous table preserved at {old}"
+        )
+    _hadoop_delete(spark, old)
