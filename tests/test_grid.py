@@ -79,6 +79,43 @@ def test_kring_wraps_antimeridian(spark):
     assert len(rings[1]) == 9
 
 
+def test_zorder_matches_numpy_and_interleaves(spark):
+    """zorder_of: Column expr == numpy twin; z-adjacency implies spatial
+    adjacency (consecutive z quadrants share a parent cell); null GPS →
+    NULL z."""
+    rng = np.random.default_rng(5)
+    lons = np.concatenate([rng.uniform(-180, 180, 50), [5.0, -179.99, 179.99]])
+    lats = np.concatenate([rng.uniform(-90, 90, 50), [52.0, -89.9, 89.9]])
+    df = spark.createDataFrame(
+        list(zip(lons.tolist(), lats.tolist())), "lon double, lat double"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            grid.zorder_of(F.col("lon"), F.col("lat")).alias("z")
+        ).collect()
+    ]
+    want = grid.zorder_np(lons, lats).tolist()
+    assert got == want
+
+    # bit-interleave property: the low 2 bits select the quadrant within
+    # the parent (z >> 2 is the parent's z at res k-1)
+    z = grid.zorder_np(np.array([5.0]), np.array([52.0]), k=16)[0]
+    zp = grid.zorder_np(np.array([5.0]), np.array([52.0]), k=15)[0]
+    assert z >> 2 == zp
+
+    nulls = spark.createDataFrame(
+        [(None, None), (float("nan"), 1.0)], "lon double, lat double"
+    )
+    out = [
+        r[0]
+        for r in nulls.select(
+            grid.zorder_of(F.col("lon"), F.col("lat"))
+        ).collect()
+    ]
+    assert out == [None, None]
+
+
 def test_cell_of_null_and_nan_yield_null(spark):
     df = spark.createDataFrame(
         [(1, None, None), (2, float("nan"), 10.0), (3, 5.0, 52.0)],

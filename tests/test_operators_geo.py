@@ -201,3 +201,60 @@ def test_asof_join_semantics(spark):
     assert out[101] == (dt.date(2020, 1, 8), 2.0)   # tie → same-day build
     assert out[102] == (None, None)                 # nothing earlier
     assert out[103] == (dt.date(2020, 6, 1), 9.0)   # different key
+
+
+def test_within_distance_join_exact_vs_numpy(spark):
+    """ST_DWithin replacement: pairs must match the numpy brute force
+    exactly, INCLUDING probes/builds straddling the antimeridian and a
+    polar-cap build point whose lon bbox spans the full circle."""
+    import numpy as np
+
+    from tiff_enrichment_pipeline_spark.operators.distance_join import (
+        within_distance_join,
+    )
+
+    rng = np.random.default_rng(31)
+    p_lon = np.concatenate([rng.uniform(-180, 180, 150),
+                            [179.98, -179.97, 0.5, 12.0]])
+    p_lat = np.concatenate([rng.uniform(-89, 89, 150),
+                            [10.0, 10.01, 89.5, -88.9]])
+    b_lon = np.concatenate([rng.uniform(-180, 180, 40),
+                            [-179.99, 179.99, 170.0, 3.0]])
+    b_lat = np.concatenate([rng.uniform(-89, 89, 40),
+                            [10.0, 10.0, 89.6, -89.0]])
+    probe = spark.createDataFrame(
+        [(i, float(p_lon[i]), float(p_lat[i])) for i in range(len(p_lon))],
+        "pid long, lon double, lat double",
+    )
+    build = spark.createDataFrame(
+        [(j, float(b_lon[j]), float(b_lat[j])) for j in range(len(b_lon))],
+        "bid long, st_lon double, st_lat double",
+    )
+    R = 6371000.0
+
+    def hav(plat, plon, blat, blon):
+        p1, p2 = np.radians(plat), np.radians(blat)
+        a = (np.sin(np.radians(blat - plat) / 2) ** 2
+             + np.cos(p1) * np.cos(p2)
+             * np.sin(np.radians(blon - plon) / 2) ** 2)
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    radius = 150_000.0
+    D = hav(p_lat[:, None], p_lon[:, None], b_lat[None, :], b_lon[None, :])
+    want = {(i, j) for i, j in zip(*np.nonzero(D <= radius))}
+
+    for bcast in (True, False):
+        got = {
+            (r["pid"], r["bid"])
+            for r in within_distance_join(
+                probe, build, radius, res=8, broadcast_build=bcast
+            ).collect()
+        }
+        assert got == want, f"broadcast={bcast}: {len(got)} vs {len(want)}"
+
+    # null-GPS probes emit no pairs
+    bad = spark.createDataFrame(
+        [(-1, None, None), (-2, float("nan"), 0.0)],
+        "pid long, lon double, lat double",
+    )
+    assert within_distance_join(bad, build, radius, res=8).count() == 0

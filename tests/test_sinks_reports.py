@@ -230,6 +230,107 @@ def test_append_inherits_recorded_bucket_layout(spark, tmp_path):
     assert raw.select("p_bucket").distinct().count() <= 4
 
 
+def test_zorder_write_clusters_files(spark, tmp_path):
+    """write_images(cluster='zorder') must give each parquet file a TIGHT
+    lon/lat envelope: a small bbox should intersect only a few files'
+    min-max stats (row-group pruning at scan), while the unclustered hash
+    layout leaves nearly every file spanning the whole extent."""
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.sources.images import write_images
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001", partitions=16)
+    flat = str(tmp_path / "flat")
+    zord = str(tmp_path / "zord")
+    write_images(img, flat, mode="overwrite", partition=False)
+    write_images(
+        img, zord, mode="overwrite", partition=False,
+        cluster="zorder", cluster_partitions=16,
+    )
+
+    box = (5.0, 51.5, 5.5, 52.0)  # lon0, lat0, lon1, lat1 — inside NL
+
+    def files_intersecting(path: str) -> tuple[int, int]:
+        hits, total = 0, 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            lo_lon = min(
+                md.row_group(g).column(cols["lon"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi_lon = max(
+                md.row_group(g).column(cols["lon"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            lo_lat = min(
+                md.row_group(g).column(cols["lat"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi_lat = max(
+                md.row_group(g).column(cols["lat"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if not (
+                hi_lon < box[0] or lo_lon > box[2]
+                or hi_lat < box[1] or lo_lat > box[3]
+            ):
+                hits += 1
+        return hits, total
+
+    f_hits, f_total = files_intersecting(flat)
+    z_hits, z_total = files_intersecting(zord)
+    assert f_total > 4 and z_total > 4, (f_total, z_total)
+    # hash layout: (almost) every file spans the hot NL box
+    assert f_hits >= f_total - 1, (f_hits, f_total)
+    # z-order layout: the box touches a small fraction of files
+    assert z_hits <= z_total // 2, (z_hits, z_total)
+    # identical logical content either way
+    assert (
+        spark.read.parquet(zord).count() == spark.read.parquet(flat).count()
+    )
+
+
+def test_deterministic_sampling_and_split(spark):
+    """Hash-mod sampling: stable under repartitioning (the retry/resume
+    guarantee rand()-based sampling lacks), proportions within tolerance,
+    split ranges exhaustive and disjoint."""
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_split,
+    )
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001")
+    n = img.count()
+    s1 = {r["image_id"] for r in deterministic_sample(img, "image_id", 0.2).collect()}
+    s2 = {
+        r["image_id"]
+        for r in deterministic_sample(
+            img.repartition(7), "image_id", 0.2
+        ).collect()
+    }
+    assert s1 == s2  # partitioning-independent
+    assert abs(len(s1) / n - 0.2) < 0.05
+
+    split = stratified_split(img, "image_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n  # exhaustive, no NULL split
+    assert abs(counts["train"] / n - 0.8) < 0.06
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(img, "image_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(img, "image_id", 1.5)
+
+
 def test_percentiles_approx_close_to_exact(spark):
     """A3 scale path: percentile_approx(accuracy=10000) must agree with the
     exact variant within sketch error on the fixture (rank error ≤ n/1e4 —

@@ -125,6 +125,71 @@ def kring_cells(cell: Column, k: int, radius: int) -> Column:
     return F.array_compact(F.array(*neighbors))
 
 
+# Z-order (Morton) curve — spatial file clustering for the write path.
+# Interleaving the (ix, iy) lattice bits makes lexicographic order follow
+# a space-filling curve, so sorting a table by z before writing gives every
+# parquet file/row-group a TIGHT lon/lat min-max envelope — bbox predicates
+# then prune row groups at scan time (the Spark/Delta/Iceberg OPTIMIZE
+# ZORDER pattern, here as a pure-arithmetic Catalyst expression with a SQL
+# twin). Default res 16 → 16+15 interleaved bits, z < 2^31.
+ZORDER_RES = 16
+
+
+def zorder_of(lon: Column, lat: Column, k: int = ZORDER_RES) -> Column:
+    """Morton z-value of the res-``k`` lattice cell containing (lon, lat).
+
+    Pure +,*,floor,% arithmetic (identical in DuckDB — ``zorder_sql``) so
+    it stays inside whole-stage codegen; NULL/NaN GPS → NULL (those rows
+    cluster together at the end of the sort order)."""
+    nx, ny = 2**k, 2 ** (k - 1)
+    ix = F.greatest(
+        F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(nx - 1)),
+        F.lit(0),
+    )
+    iy = F.greatest(
+        F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(ny - 1)),
+        F.lit(0),
+    )
+    z = None
+    for b in range(k):
+        t = (F.floor(ix / F.lit(2**b)) % 2) * F.lit(2 ** (2 * b))
+        z = t if z is None else z + t
+        if b < k - 1:  # iy has one bit fewer
+            z = z + (F.floor(iy / F.lit(2**b)) % 2) * F.lit(2 ** (2 * b + 1))
+    s = lon.cast("double") + lat.cast("double")
+    ok = s.isNotNull() & ~F.isnan(s)
+    return F.when(ok, z.cast("long"))
+
+
+def zorder_sql(lon_expr: str, lat_expr: str, k: int = ZORDER_RES) -> str:
+    """ANSI-SQL text computing the identical z-value (oracle parity)."""
+    nx, ny = 2**k, 2 ** (k - 1)
+    ix = f"CAST(GREATEST(LEAST(FLOOR(({lon_expr}+180.0)/360.0*{nx}), {nx - 1}), 0) AS BIGINT)"
+    iy = f"CAST(GREATEST(LEAST(FLOOR(({lat_expr}+90.0)/180.0*{ny}), {ny - 1}), 0) AS BIGINT)"
+    terms = []
+    for b in range(k):
+        terms.append(f"(({ix}//{2**b})%2)*{2 ** (2 * b)}")
+        if b < k - 1:
+            terms.append(f"(({iy}//{2**b})%2)*{2 ** (2 * b + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_np(lon: np.ndarray, lat: np.ndarray, k: int = ZORDER_RES) -> np.ndarray:
+    nx, ny = 2**k, 2 ** (k - 1)
+    ix = np.clip(
+        np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * nx), 0, nx - 1
+    ).astype(np.int64)
+    iy = np.clip(
+        np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * ny), 0, ny - 1
+    ).astype(np.int64)
+    z = np.zeros_like(ix)
+    for b in range(k):
+        z += ((ix >> b) & 1) << (2 * b)
+        if b < k - 1:
+            z += ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
 # ---------------------------------------------------------------------------
 # SQL generator (DuckDB-oracle parity) — same arithmetic, ANSI SQL text
 # ---------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+A 100 TB curation run needs samples and train/val/test splits that are:
+
+- **deterministic across retries and resumes** — a failed stage re-executes
+  and MUST land every row in the same split (Spark's ``sample()`` /
+  ``randomSplit()`` are seed-stable only for identical partitioning, which
+  a resume does not guarantee);
+- **engine-portable** — the assignment must be recomputable outside Spark
+  (the md5-prefix hash has a DuckDB twin, so every split is
+  oracle-checkable; Spark's murmur ``hash()`` is not portable);
+- **shuffle-free** — assignment is a pure projection over the key column.
+
+Pattern: ``bucket = md5_prefix_long(key) % 10_000`` (uniform by md5's
+avalanche), then threshold for sampling or cumulative ranges for weighted
+splits — the standard hash-mod split used by large-scale data pipelines,
+expressed as a Catalyst column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiff_enrichment_pipeline_spark.functions.text import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
+
+_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, 10000) from the row key (string-cast first so
+    numeric and string keys hash identically to the SQL twin)."""
+    return md5_prefix_long(key.cast("string")) % _BUCKETS
+
+
+def sample_bucket_sql(key_expr: str) -> str:
+    return f"({md5_prefix_long_sql(f'CAST({key_expr} AS VARCHAR)')} % {_BUCKETS})"
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    retries, resumes, and engines. A pure filter: no shuffle, no RNG."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction={fraction} must be in [0, 1]")
+    return df.filter(sample_bucket(F.col(key)) < int(round(fraction * _BUCKETS)))
+
+
+def split_column(key: Column, weights: dict[str, float]) -> Column:
+    """Label each row with its split name by cumulative hash-bucket ranges.
+
+    ``weights`` maps split name → fraction; fractions must sum to 1 (±1e-9).
+    Iteration order defines the ranges, so pass an ordered dict — e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}`` → buckets [0,8000),
+    [8000,9000), [9000,10000).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = sample_bucket(key)
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += int(round(w * _BUCKETS))
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def split_column_sql(key_expr: str, weights: dict[str, float]) -> str:
+    b = sample_bucket_sql(key_expr)
+    cases, hi = [], 0
+    for name, w in weights.items():
+        hi += int(round(w * _BUCKETS))
+        cases.append(f"WHEN {b} < {hi} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def stratified_split(
+    df: DataFrame, key: str, weights: dict[str, float], label: str = "split"
+) -> DataFrame:
+    """df + a ``split`` column (train/val/test style). Deterministic,
+    shuffle-free; per-stratum proportions hold by hash uniformity when the
+    key is unique per row."""
+    return df.withColumn(label, split_column(F.col(key), weights))

@@ -2306,3 +2306,210 @@ assert not _missing and not _unknown, (_missing, _unknown)
 
 QUERIES = {k: QUERIES[k] for k in [*_DRIVER_PRIORITY, *_DEMOTED]}
 ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+
+
+# ===========================================================================
+# Batch 7 (round 3, past-cap additions): z-order clustering, deterministic
+# splits, embedding dedup clusters. Registered AFTER the driver-cap prefix
+# deliberately — the prefix stays the family-balanced scoreboard; these are
+# value-checked by tests/test_oracle_parity.py like every other entry.
+# ===========================================================================
+
+def q_zorder_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value per image (grid.zorder_of) — the write-path
+    clustering key behind write_images(cluster='zorder'): sorting by z
+    gives every parquet file a tight lon/lat envelope so bbox scans prune
+    row groups (file-locality pinned by
+    tests/test_sinks_reports.py::test_zorder_write_clusters_files)."""
+    img = geotables.images_geo(spark, sf_dir)
+    return img.select(
+        "image_id", grid.zorder_of(F.col("lon"), F.col("lat")).alias("zval")
+    )
+
+
+def q_zorder_encode_sql() -> str:
+    return f"""{_IMAGES_CTE}
+    SELECT image_id, {grid.zorder_sql("lon", "lat")} AS zval FROM images"""
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + 10% subsample flag
+    (operators/sampling.py): hash-mod assignment that is stable across
+    retries/resumes and recomputable by any engine — Spark's sample()/
+    randomSplit() are partitioning-dependent, which a resume can't
+    guarantee."""
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        sample_bucket,
+        split_column,
+    )
+
+    img = geotables.images_geo(spark, sf_dir)
+    return img.select(
+        "image_id",
+        split_column(F.col("image_id"), _SPLIT_WEIGHTS).alias("split"),
+        (sample_bucket(F.col("image_id")) < 1000).alias("in_10pct_sample"),
+    )
+
+
+def q_train_split_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        sample_bucket_sql,
+        split_column_sql,
+    )
+
+    return f"""{_IMAGES_CTE}
+    SELECT image_id,
+           {split_column_sql("image_id", _SPLIT_WEIGHTS)} AS split,
+           {sample_bucket_sql("image_id")} < 1000 AS in_10pct_sample
+    FROM images"""
+
+
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) dedup END-TO-END: near-dup pairs
+    (cosine > 0.3, ids < 200) → connected components (star algorithm) →
+    keep/drop decision per vector — the embedding twin of
+    `lsh_dedup_clusters`, value-checked against a recursive-CTE fixpoint
+    over the same SQL cosine pairs."""
+    from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = (
+        brute_force_topk(emb, emb, k=200)
+        .filter((F.col("cosine") > 0.3) & (F.col("vec_id") < F.col("neighbor_id")))
+        .select(F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(
+        "node", "comp", (F.col("node") == F.col("comp")).alias("survivor")
+    )
+
+
+def q_embedding_dedup_clusters_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    na = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    nb = (
+        "SQRT(list_reduce(list_transform(generate_series(1, len(b.embedding)), "
+        "i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    return f"""WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+        AND {dot}/({na}*{nb}) > 0.3
+    ),
+    edges AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION
+      SELECT pb AS a, pa AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS node, MIN(m) AS comp, n = MIN(m) AS survivor
+    FROM reach GROUP BY n"""
+
+
+def q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin replacement (operators/distance_join.py): every station
+    within 25 km of each image — cell-cover → broadcast equi-join → exact
+    haversine refine. Exact for any cell resolution (cover ⊇ disk; refine
+    is the true predicate, wrap-safe)."""
+    from tiff_enrichment_pipeline_spark.operators.distance_join import (
+        within_distance_join,
+    )
+
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "lon", "lat")
+    st = geotables.stations(spark, sf_dir).select("station_id", "st_lon", "st_lat")
+    out = within_distance_join(img, st, 25_000.0)
+    return out.select(
+        "image_id", "station_id", F.round("dist_m", 2).alias("dist_m")
+    )
+
+
+def q_within_radius_sql() -> str:
+    d = haversine_m_sql("i.lat", "i.lon", "s.st_lat", "s.st_lon")
+    return f"""WITH images AS ({geotables.images_geo_sql()}),
+    stations AS ({geotables.stations_sql()})
+    SELECT i.image_id, s.station_id, ROUND({d}, 2) AS dist_m
+    FROM images i CROSS JOIN stations s
+    WHERE {d} <= 25000.0"""
+
+
+def q_zonal_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster aggregated per vector zone — the classic
+    GIS op the reference's PostGIS stack would run): mean bilinear
+    elevation of image points per land-cover class, composed from the
+    engine's own PIP + elevation operators (operator composability check).
+
+    Float-determinism: per-row elevation rounds to 6 dp then scales to an
+    exact BIGINT micro-meter sum (summation order can't change the value),
+    divided back at the end — engine and oracle agree bit-for-bit."""
+    img = geotables.images_geo(spark, sf_dir)
+    lc = landcover_pip_join(img, geotables.landcover_polygons(spark), res=grid.RES8)
+    ev = elevation_join(lc, dem_tiles_df(spark))
+    micro = (F.round(F.col("elevation"), 6) * 1_000_000).cast("long")
+    return (
+        ev.groupBy("land_cover_class")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.count("elevation").alias("n_with_elev"),
+            F.round(
+                (F.sum(micro) / F.count("elevation")) / 1_000_000.0, 4
+            ).alias("avg_elev_m"),
+        )
+    )
+
+
+def q_zonal_elevation_sql() -> str:
+    cls, _conf = geotables.landcover_lookup_sql("lon", "lat")
+    elev = geotables.elevation_bilinear_sql("lon", "lat")
+    in_dem = "lon >= 3.0 AND lon < 7.3 AND lat >= 50.7 AND lat < 53.6"
+    return f"""{_IMAGES_CTE},
+    zoned AS (
+      SELECT {cls} AS land_cover_class,
+             CASE WHEN {in_dem}
+                  THEN CAST(ROUND({elev}, 6)*1000000 AS BIGINT) END AS micro
+      FROM images
+    )
+    SELECT land_cover_class,
+           COUNT(*) AS n_images,
+           COUNT(micro) AS n_with_elev,
+           ROUND((SUM(micro)/COUNT(micro))/1000000.0, 4) AS avg_elev_m
+    FROM zoned GROUP BY land_cover_class"""
+
+
+QUERIES.update(
+    {
+        "zorder_encode": q_zorder_encode,
+        "train_split": q_train_split,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "within_radius": q_within_radius,
+        "zonal_elevation": q_zonal_elevation,
+    }
+)
+ORACLES.update(
+    {
+        "zorder_encode": q_zorder_encode_sql(),
+        "train_split": q_train_split_sql(),
+        "embedding_dedup_clusters": q_embedding_dedup_clusters_sql(),
+        "within_radius": q_within_radius_sql(),
+        "zonal_elevation": q_zonal_elevation_sql(),
+    }
+)

@@ -115,6 +115,8 @@ def write_images(
     mode: str = "append",
     buckets: int = 16,
     partition: bool = True,
+    cluster: str | None = None,
+    cluster_partitions: int | None = None,
 ) -> None:
     """Write the image table with the layout the reads depend on at 100 TB:
     ``bucket(N, image_id)`` for uniform write distribution + a coarse cell
@@ -126,12 +128,38 @@ def write_images(
     inherit the table layout. Parquet fallback: derived physical columns
     ``p_bucket`` (pmod of xxhash64(image_id)) and, when lon/lat exist,
     ``p_cell`` (res-4 cell id) via ``partitionBy`` — read_images drops
-    them again."""
+    them again.
+
+    ``cluster='zorder'``: range-partition + sort the rows by the Morton
+    z-value of (lon, lat) before writing, so each parquet file/row-group
+    covers a TIGHT lon/lat envelope and bbox predicates prune row groups
+    at scan (the OPTIMIZE ZORDER pattern; the same trick Iceberg expresses
+    as a sort order). Orthogonal to the directory layout."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
+
+    def _clustered(d: DataFrame) -> DataFrame:
+        if cluster is None:
+            return d
+        if cluster != "zorder":
+            raise ValueError(f"unknown cluster strategy {cluster!r}")
+        if "lon" not in d.columns or "lat" not in d.columns:
+            raise ValueError("cluster='zorder' needs lon/lat columns")
+        from tiff_enrichment_pipeline_spark import grid
+
+        z = d.withColumn("_z", grid.zorder_of(F.col("lon"), F.col("lat")))
+        # explicit count pins the file count (AQE coalesces an unsized
+        # range shuffle of a small table down to one partition)
+        ranged = (
+            z.repartitionByRange(cluster_partitions, F.col("_z"))
+            if cluster_partitions
+            else z.repartitionByRange(F.col("_z"))
+        )
+        return ranged.sortWithinPartitions("_z").drop("_z")
+
     if "/" not in location and iceberg_available(spark):
-        writer = df.writeTo(location)
+        writer = _clustered(df).writeTo(location)
         if mode == "append":
             writer.append()
         else:
@@ -140,7 +168,7 @@ def write_images(
             writer.createOrReplace()
         return
     if not partition:
-        df.write.mode(mode).parquet(location)
+        _clustered(df).write.mode(mode).parquet(location)
         return
     from tiff_enrichment_pipeline_spark import grid
 
@@ -158,7 +186,7 @@ def write_images(
             stacklevel=2,
         )
         buckets = recorded
-    out = df.withColumn(
+    out = _clustered(df).withColumn(
         "p_bucket", F.pmod(F.xxhash64(F.col("image_id")), F.lit(buckets))
     )
     part_cols = ["p_bucket"]
