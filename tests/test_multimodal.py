@@ -102,3 +102,25 @@ def test_multimodal_is_single_map_stage(spark, images):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan or "BroadcastExchange" in plan
     assert out.count() == 12
+
+
+def test_fused_resize_extract_matches_chained(spark, images):
+    """resize_and_extract (ONE Arrow crossing) must be bit-identical to
+    the two chained stages (raw-u16 intermediate is lossless) and its plan
+    must contain exactly one Python map operator."""
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        resize_and_extract,
+    )
+
+    chained = {
+        r["image_id"]: (r["px_mean"], r["px_std"], r["px_p95"], r["edge_energy"])
+        for r in extract_image_features(resize_images(images, 16, 12)).collect()
+    }
+    fused_df = resize_and_extract(images, 16, 12)
+    fused = {
+        r["image_id"]: (r["px_mean"], r["px_std"], r["px_p95"], r["edge_energy"])
+        for r in fused_df.collect()
+    }
+    assert fused == chained
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1

@@ -258,3 +258,13 @@ def test_within_distance_join_exact_vs_numpy(spark):
         "pid long, lon double, lat double",
     )
     assert within_distance_join(bad, build, radius, res=8).count() == 0
+
+    # salted shuffle path (the hot-cell defense): identical pair set
+    salted = {
+        (r["pid"], r["bid"])
+        for r in within_distance_join(
+            probe, build, radius, res=8,
+            broadcast_build=False, salt=4, probe_id="pid",
+        ).collect()
+    }
+    assert salted == want

@@ -95,6 +95,26 @@ def test_knn_plan_size_independent_of_station_count(spark):
     assert lb < ls * 2, (ls, lb)
 
 
+def test_within_distance_broadcast_no_probe_shuffle(spark):
+    """The ST_DWithin-shape join on its default (broadcast) strategy must
+    be a pure map stage over the probe: one BroadcastHashJoin, no
+    hash-partitioned exchange of the probe side."""
+    from tiff_enrichment_pipeline_spark.operators.distance_join import (
+        within_distance_join,
+    )
+
+    img = geotables.images_geo(spark, SF).select("image_id", "lon", "lat")
+    st = geotables.stations(spark, SF).select("station_id", "st_lon", "st_lat")
+    out = within_distance_join(img, st, 25_000.0)
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        ls = line.strip()
+        if "Exchange" in ls and "BroadcastExchange" not in ls:
+            assert "RoundRobinPartitioning" in ls, f"unexpected shuffle: {ls}"
+
+
 def test_knn_hof_single_probe_scan(spark):
     """The hof strategy must scan the probe ONCE: the certified /
     uncertified branches are a CASE inside one projection, not a

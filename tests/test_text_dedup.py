@@ -281,6 +281,61 @@ def test_ivf_pruned_index_matches_inmemory(spark, tmp_path):
     assert pruned.count() > 0
 
 
+def test_ivf_index_append_uses_persisted_quantizer(spark, tmp_path):
+    """append_to_ivf_index: new vectors land in the list the PERSISTED
+    centroids assign (the quantizer is immutable on append — retraining
+    would orphan existing assignments), the partitioned layout survives,
+    and probes over the appended index equal a one-shot assignment of the
+    full corpus with the same centroids."""
+    from tiff_enrichment_pipeline_spark.operators.ann import (
+        append_to_ivf_index,
+        ivf_assign_df,
+        ivf_probe_pruned,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(100)]
+    first = spark.createDataFrame(vecs[:60], "vec_id long, embedding array<float>")
+    extra = spark.createDataFrame(vecs[60:], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(first, path, n_lists=8)
+    append_to_ivf_index(extra, path)
+
+    # layout: still one directory per assigned list, nothing flattened
+    import os
+
+    dirs = [d for d in os.listdir(f"{path}/index") if d.startswith("ivf_list=")]
+    assert dirs and len(dirs) <= 8
+
+    # appended rows sit exactly where the persisted quantizer puts them
+    stored = spark.read.parquet(f"{path}/index")
+    want = {
+        r["vec_id"]: r["ivf_list"]
+        for r in ivf_assign_df(extra, cents).collect()
+    }
+    got = {
+        r["vec_id"]: r["ivf_list"]
+        for r in stored.filter(F.col("vec_id") >= 60).collect()
+    }
+    assert got == want
+    assert stored.count() == 100
+
+    # probing every list over the appended index == exact brute force over
+    # the full corpus (nprobe=n_lists makes IVF exact regardless of layout)
+    full = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = full.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(q, full, k=3).collect()
+    }
+    idx = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_probe_pruned(q, path, k=3, nprobe=8).collect()
+    }
+    assert idx == brute
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation: a 5-node chain (diameter 4 — needs multiple
     rounds), a 2-node island, and a self-contained triangle all resolve to

@@ -120,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         write_images(
             result, f"{cfg.output_dir}/enriched",
             mode="overwrite", buckets=cfg.partition_buckets,
+            cluster=cfg.cluster,
         )
         out = read_images(spark, f"{cfg.output_dir}/enriched")
         lineage, metrics = rec.finish(out)

@@ -59,6 +59,9 @@ class EnrichConfig:
     broadcast_obs: bool = True
     # image/enriched table layout — write_images(buckets=...)
     partition_buckets: int = 16
+    # write-path spatial clustering — write_images(cluster=...); 'zorder'
+    # sorts files along the Morton curve so bbox scans prune row groups
+    cluster: str | None = None
 
     def validate(self) -> "EnrichConfig":
         errs: list[str] = []
@@ -95,6 +98,10 @@ class EnrichConfig:
             v = getattr(self, name)
             if not isinstance(v, bool):
                 errs.append(f"{name}={v!r}: must be a bool")
+        if self.cluster not in (None, "zorder"):
+            errs.append(
+                f"cluster={self.cluster!r}: must be None or 'zorder'"
+            )
         if errs:
             raise ConfigError(
                 "invalid enrichment config:\n  " + "\n  ".join(errs)

@@ -377,6 +377,33 @@ def write_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign new vectors with the index's
+    PERSISTED quantizer and append them into the partitioned layout.
+
+    The centroid matrix is immutable on append — retraining it would
+    silently orphan every existing list assignment (the same invariant a
+    bucket modulus has for a bucketed table). Probes prune exactly as
+    before; list balance degrades only as far as the data distribution
+    drifts from the training sample, at which point a full
+    ``write_ivf_index`` rebuild is the (offline) remedy."""
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["ivf_list"])],
+        dtype=np.float64,
+    )
+    assigned = ivf_assign_df(new_vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("ivf_list").parquet(
+        f"{path}/index"
+    )
+
+
 def ivf_probe_pruned(
     queries: DataFrame,
     path: str,

@@ -51,12 +51,22 @@ def within_distance_join(
     build_lon: str = "st_lon",
     build_lat: str = "st_lat",
     broadcast_build: bool = True,
+    salt: int | None = None,
+    probe_id: str | None = None,
 ) -> DataFrame:
     """All (probe, build) pairs within ``radius_m`` meters (inner join).
 
     Output: every probe column + every build column + ``dist_m``. Probe
     rows with NULL/NaN GPS emit no pairs (cell_of yields NULL and NULL
     keys don't equi-join — matching ST_DWithin's NULL semantics).
+
+    ``broadcast_build=False`` is the only join in the engine whose shuffle
+    key is GEOGRAPHIC (the probe cell), so urban geotag pileups land on it
+    directly — pass ``salt`` (with ``probe_id`` naming a probe identity
+    column) to scatter each hot cell across ``salt`` shuffle partitions
+    (deterministic identity-hash salt, cover side replicated ×salt; values
+    identical by construction). AQE skew-join splitting is the runtime
+    backstop when unsalted.
     """
     dlat = F.lit(radius_m / M_PER_DEG)
     blat = F.col(build_lat)
@@ -100,7 +110,21 @@ def within_distance_join(
     d = haversine_m(
         F.col(probe_lat), F.col(probe_lon), F.col(build_lat), F.col(build_lon)
     )
-    joined = probed.join(cover, "_cell").filter(d <= F.lit(radius_m))
+    if salt is not None and not broadcast_build:
+        if probe_id is None:
+            raise ValueError("salted within_distance_join needs probe_id")
+        from tiff_enrichment_pipeline_spark.operators.skew import (
+            replicate_build,
+            with_salt,
+        )
+
+        probed = with_salt(probed, probe_id, salt)
+        cover = replicate_build(cover, salt)
+        joined = probed.join(cover, ["_cell", "_salt"]).filter(
+            d <= F.lit(radius_m)
+        )
+    else:
+        joined = probed.join(cover, "_cell").filter(d <= F.lit(radius_m))
     return joined.select(
         *[probed[c] for c in probe.columns],
         *[cover[c] for c in build.columns],

@@ -1335,6 +1335,59 @@ def q_phash_neardup_sql() -> str:
       AND bit_count(xor(a.phash, b.phash)) <= 2"""
 
 
+def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup end-to-end (the input_hint payload axis): pHash banded
+    LSH pairs (hamming ≤ 2) → star connected components → keep/drop
+    decision per image — completing the same pairs→clusters→survivors
+    chain the text (`lsh_dedup_clusters`) and embedding
+    (`embedding_dedup_clusters`) paths have, against the same
+    recursive-CTE fixpoint oracle."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = q_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(
+        "node", "comp", (F.col("node") == F.col("comp")).alias("survivor")
+    )
+
+
+def q_phash_dedup_clusters_sql() -> str:
+    base = "CAST(CAST(('0x' || substr(md5(CAST(image_id//10 AS VARCHAR)), 1, 15)) AS UINT64) AS BIGINT)"
+    flip = "CASE WHEN image_id % 10 = 0 THEN 0 ELSE (1::BIGINT << CAST((image_id*7) % 60 AS INT)) END"
+    return f"""WITH RECURSIVE images AS ({geotables.images_geo_sql()}),
+    h AS (
+      SELECT image_id, xor({base}, {flip}) AS phash
+      FROM images WHERE image_id < 2000
+    ),
+    bands AS (
+      SELECT image_id, phash, b.band,
+             (phash >> (16*b.band)) & 65535 AS bkey
+      FROM h, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.image_id AS pa, b.image_id AS pb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.image_id < b.image_id
+        AND bit_count(xor(a.phash, b.phash)) <= 2
+    ),
+    edges AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION
+      SELECT pb AS a, pa AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS node, MIN(m) AS comp, n = MIN(m) AS survivor
+    FROM reach GROUP BY n"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (ids < 10)."""
     from tiff_enrichment_pipeline_spark.operators.ann import brute_force_topk
@@ -1938,19 +1991,20 @@ def q_image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline slice (build brief): resize the band payloads to
-    16x12 then extract typed pixel features — two chained mapInPandas map
-    stages, zero shuffles. Rows-only driver check (pixel ops aren't
+    16x12 then extract typed pixel features — ONE fused mapInPandas map
+    stage (resize_and_extract: bit-identical to the two chained stages,
+    which stay available when resized payloads are themselves an output),
+    zero shuffles. Rows-only driver check (pixel ops aren't
     SQL-expressible); values pinned against numpy in tests."""
     from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
     from tiff_enrichment_pipeline_spark.raster.multimodal import (
-        extract_image_features,
-        resize_images,
+        resize_and_extract,
     )
 
     bands = band_rows_from_orders(spark, sf_dir).withColumn(
         "image_id", F.xxhash64(F.col("image_id"))
     )
-    return extract_image_features(resize_images(bands, 16, 12)).select(
+    return resize_and_extract(bands, 16, 12).select(
         "image_id",
         F.round("px_mean", 4).alias("px_mean"),
         F.round("px_std", 4).alias("px_std"),
@@ -2502,10 +2556,12 @@ QUERIES.update(
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "within_radius": q_within_radius,
         "zonal_elevation": q_zonal_elevation,
+        "phash_dedup_clusters": q_phash_dedup_clusters,
     }
 )
 ORACLES.update(
     {
+        "phash_dedup_clusters": q_phash_dedup_clusters_sql(),
         "zorder_encode": q_zorder_encode_sql(),
         "train_split": q_train_split_sql(),
         "embedding_dedup_clusters": q_embedding_dedup_clusters_sql(),

@@ -158,6 +158,43 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     )
 
 
+def resize_and_extract(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """FUSED resize→features: ONE Arrow crossing instead of two chained
+    mapInPandas stages, and no intermediate raw-u16 encode/decode
+    round-trip (raw-u16 is lossless, so values are bit-identical to
+    ``extract_image_features(resize_images(...))`` — pinned in
+    tests/test_multimodal.py). Use the separate stages when the resized
+    payloads themselves are a needed output; use this when only features
+    are."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                image_features_np(
+                    resize_bilinear_np(
+                        codec.decode(bytes(p), int(w), int(h), str(f)),
+                        out_w,
+                        out_h,
+                    )
+                )
+                for p, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ]
+            a = np.array(feats, dtype=np.float64).reshape(-1, 4)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "px_mean": a[:, 0],
+                    "px_std": a[:, 1],
+                    "px_p95": a[:, 2],
+                    "edge_energy": a[:, 3],
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "video_id long, frame_idx int, bytes binary, w int, h int, fmt string"
 
 
