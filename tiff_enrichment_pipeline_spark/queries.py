@@ -2518,14 +2518,23 @@ def q_zonal_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = geotables.images_geo(spark, sf_dir)
     lc = landcover_pip_join(img, geotables.landcover_polygons(spark), res=grid.RES8)
     ev = elevation_join(lc, dem_tiles_df(spark))
-    micro = (F.round(F.col("elevation"), 6) * 1_000_000).cast("long")
+    # FLOOR (not a bare long cast — Spark truncates, DuckDB rounds) then
+    # pure integer DIV: no double rounding anywhere in the aggregate
+    micro = F.floor(F.col("elevation") * 1_000_000).cast("long")
     return (
         ev.groupBy("land_cover_class")
         .agg(
             F.count("*").alias("n_images"),
             F.count("elevation").alias("n_with_elev"),
-            F.round(
-                (F.sum(micro) / F.count("elevation")) / 1_000_000.0, 4
+            F.sum(micro).alias("_sm"),
+        )
+        .select(
+            "land_cover_class",
+            "n_images",
+            "n_with_elev",
+            F.when(
+                F.col("n_with_elev") > 0,
+                F.expr("_sm DIV (n_with_elev*100)") / 10000.0,
             ).alias("avg_elev_m"),
         )
     )
@@ -2539,18 +2548,75 @@ def q_zonal_elevation_sql() -> str:
     zoned AS (
       SELECT {cls} AS land_cover_class,
              CASE WHEN {in_dem}
-                  THEN CAST(ROUND({elev}, 6)*1000000 AS BIGINT) END AS micro
+                  THEN CAST(FLOOR({elev}*1000000) AS BIGINT) END AS micro
       FROM images
     )
     SELECT land_cover_class,
            COUNT(*) AS n_images,
            COUNT(micro) AS n_with_elev,
-           ROUND((SUM(micro)/COUNT(micro))/1000000.0, 4) AS avg_elev_m
+           CASE WHEN COUNT(micro) > 0
+                THEN (SUM(micro)//(COUNT(micro)*100))/10000.0 END AS avg_elev_m
     FROM zoned GROUP BY land_cover_class"""
+
+
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup (the hypertable/tile-server aggregation shape):
+    per-image res-9 cells rolled up the aperture-4 hierarchy to res-8 and
+    res-7 in ONE pass — grouping by the finest cell plus ROLLUP-style
+    parent re-aggregation, all pure cell arithmetic (cell_parent), so a
+    tile server reads any zoom level from one table. Map-side partial
+    aggregation absorbs the hot-cell fixture skew (algebraic aggs)."""
+    img = geotables.images_geo(spark, sf_dir)
+    c9 = grid.cell_of(F.col("lon"), F.col("lat"), grid.RES9)
+    fine = img.select(
+        c9.alias("cell"),
+        grid.cell_parent(c9, grid.RES8, grid.RES9).alias("p8"),
+        grid.cell_parent(c9, grid.RES7, grid.RES9).alias("p7"),
+        # FLOOR, never a bare bigint cast: Spark's long cast truncates
+        # while DuckDB's rounds — floor of the identical IEEE double is
+        # the only engine-portable integerization
+        F.floor(F.col("alt") * 1_000_000).cast("long").alias("micro"),
+    )
+
+    def lvl(cell_col: str, res: int) -> DataFrame:
+        # avg truncated to 4 dp via pure INTEGER floor-division (DIV) —
+        # no double anywhere, so engine/oracle rounding modes can't differ
+        return (
+            fine.groupBy(F.col(cell_col).alias("cell"))
+            .agg(F.count("*").alias("n_images"), F.sum("micro").alias("sm"))
+            .select(
+                F.lit(res).alias("res"),
+                "cell",
+                "n_images",
+                (
+                    F.expr("sm DIV (n_images*100)") / 10000.0
+                ).alias("avg_alt_m"),
+            )
+        )
+
+    return (
+        lvl("cell", grid.RES9)
+        .unionByName(lvl("p8", grid.RES8))
+        .unionByName(lvl("p7", grid.RES7))
+    )
+
+
+def q_cell_pyramid_sql() -> str:
+    def lvl(k: int) -> str:
+        c = grid.cell_sql("lon", "lat", k)
+        return f"""SELECT {k} AS res, {c} AS cell, COUNT(*) AS n_images,
+               (SUM(CAST(FLOOR(alt*1000000) AS BIGINT))//(COUNT(*)*100))/10000.0 AS avg_alt_m
+        FROM images GROUP BY 2"""
+
+    return (
+        f"{_IMAGES_CTE}\n    "
+        + "\n    UNION ALL\n    ".join(lvl(k) for k in (grid.RES9, grid.RES8, grid.RES7))
+    )
 
 
 QUERIES.update(
     {
+        "cell_pyramid": q_cell_pyramid,
         "zorder_encode": q_zorder_encode,
         "train_split": q_train_split,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
@@ -2562,6 +2628,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "phash_dedup_clusters": q_phash_dedup_clusters_sql(),
+        "cell_pyramid": q_cell_pyramid_sql(),
         "zorder_encode": q_zorder_encode_sql(),
         "train_split": q_train_split_sql(),
         "embedding_dedup_clusters": q_embedding_dedup_clusters_sql(),
