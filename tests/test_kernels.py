@@ -172,3 +172,147 @@ def test_band_stats():
     assert s["nodata_count"] == 1.0
     assert s["zero_ratio"] == 0.25
     assert s["p50"] == 150.0
+
+
+def test_tiff_roundtrip_matrix():
+    """Baseline-TIFF codec (stdlib): bit-exact roundtrips across
+    compression × predictor × strip layout, 16-bit grayscale."""
+    rng = np.random.default_rng(11)
+    band = rng.integers(0, 65536, (97, 53)).astype(np.uint16)
+    for comp in ("none", "deflate"):
+        for rps in (1, 17, 64, 200):
+            for pred in (1, 2):
+                t = codec.encode_tiff_u16(
+                    band, compression=comp, rows_per_strip=rps, predictor=pred
+                )
+                assert np.array_equal(codec.decode_tiff_u16(t), band)
+    # dispatch path + invariants
+    t = codec.encode_tiff_u16(band)
+    out = codec.decode(t, 53, 97, "tiff")
+    assert np.array_equal(out, band)
+    assert codec.is_lossless("tiff")
+    assert codec.psnr_db(band, out) == float("inf")
+    with pytest.raises(ValueError):  # metadata/payload dimension mismatch
+        codec.decode(t, 10, 10, "tiff")
+
+
+def test_tiff_predictor_compresses_smooth_rasters():
+    """Predictor-2 horizontal differencing is the reason GeoTIFFs deflate
+    well: on a smooth raster it must beat predictor-1 materially."""
+    y, x = np.mgrid[0:128, 0:128]
+    smooth = (1000 + 40 * np.sin(x / 9.0) + 35 * np.cos(y / 7.0)).astype(np.uint16)
+    n1 = len(codec.encode_tiff_u16(smooth, predictor=1))
+    n2 = len(codec.encode_tiff_u16(smooth, predictor=2))
+    assert np.array_equal(codec.decode_tiff_u16(codec.encode_tiff_u16(smooth)), smooth)
+    assert n2 < 0.6 * n1
+
+
+def _independent_tiff_mm(img: np.ndarray, rows_per_strip: int) -> bytes:
+    """Test-side reference encoder, deliberately DIFFERENT from the
+    codec's: big-endian (MM), IFD placed FIRST (before pixel data),
+    uncompressed, SHORT width/height tags — so decoding it proves the
+    decoder implements the spec, not merely the encoder's inverse."""
+    import struct
+
+    h, w = img.shape
+    bits = 16 if img.dtype == np.uint16 else 8
+    nb = bits // 8
+    strips = [
+        np.ascontiguousarray(img[y0 : y0 + rows_per_strip].astype(">u2" if bits == 16 else "u1")).tobytes()
+        for y0 in range(0, h, rows_per_strip)
+    ]
+    n_tags = 10
+    ifd_off = 8
+    # entries(12 each) + count(2) + next(4), then the out-of-line arrays
+    arrays_off = ifd_off + 2 + 12 * n_tags + 4
+    n_strips = len(strips)
+    offs_off = arrays_off
+    cnts_off = offs_off + 4 * n_strips
+    data_off = cnts_off + 4 * n_strips
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def ent(tag, typ, cnt, val):
+        if typ == 3:
+            return struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(">HHII", tag, typ, cnt, val)
+
+    entries = b"".join(
+        [
+            ent(256, 3, 1, w),
+            ent(257, 3, 1, h),
+            ent(258, 3, 1, bits),
+            ent(259, 3, 1, 1),
+            ent(262, 3, 1, 1),
+            ent(273, 4, n_strips, offs_off if n_strips > 1 else offs[0]),
+            ent(277, 3, 1, 1),
+            ent(278, 3, 1, rows_per_strip),
+            ent(279, 4, n_strips, cnts_off if n_strips > 1 else len(strips[0])),
+            ent(339, 3, 1, 1),
+        ]
+    )
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+    out += struct.pack(">H", n_tags) + entries + struct.pack(">I", 0)
+    if n_strips > 1:
+        out += b"".join(struct.pack(">I", o) for o in offs)
+        out += b"".join(struct.pack(">I", len(s)) for s in strips)
+    else:
+        # pad so data_off stays where the offsets promised
+        out += b"\x00" * (4 * n_strips * 2)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_tiff_decoder_reads_independent_big_endian_file():
+    rng = np.random.default_rng(12)
+    a16 = rng.integers(0, 65536, (41, 23)).astype(np.uint16)
+    got = codec.decode_tiff_u16(_independent_tiff_mm(a16, rows_per_strip=13))
+    assert np.array_equal(got, a16)
+    a8 = rng.integers(0, 256, (9, 31)).astype(np.uint8)
+    got8 = codec.decode_tiff_u16(_independent_tiff_mm(a8, rows_per_strip=50))
+    assert np.array_equal(got8, a8.astype(np.uint16))
+
+
+def test_geotiff_tags_roundtrip_and_guards():
+    import struct
+
+    rng = np.random.default_rng(13)
+    band = rng.integers(0, 65536, (32, 48)).astype(np.uint16)
+    geo = {
+        "pixel_scale": (1.25e-6, 1.5e-6),
+        "origin": (5.1234, 52.9876),
+        "epsg": 4326,
+    }
+    arr, meta = codec.decode_geotiff(codec.encode_tiff_u16(band, geo=geo))
+    assert np.array_equal(arr, band)
+    assert meta["pixel_scale"] == (1.25e-6, 1.5e-6)
+    assert meta["origin"] == (5.1234, 52.9876)
+    assert meta["tiepoint"] == (0.0, 0.0, 0.0, 5.1234, 52.9876, 0.0)
+    assert (meta["epsg"], meta["model_type"], meta["raster_type"]) == (4326, 2, 1)
+    # plain tiff → no geo keys
+    _, meta0 = codec.decode_geotiff(codec.encode_tiff_u16(band))
+    assert meta0 == {}
+
+    with pytest.raises(ValueError):
+        codec.decode_tiff_u16(b"NOTATIFF")
+    with pytest.raises(NotImplementedError):  # BigTIFF magic 43
+        codec.decode_tiff_u16(b"II+\x00" + b"\x00" * 12)
+    # LZW-compressed marker (compression 5) → stdlib raises, and the
+    # decode() dispatch converts it into the Pillow-gated NotImplemented
+    t = bytearray(codec.encode_tiff_u16(band))
+    comp_at = t.find(struct.pack("<HHI", 259, 3, 1))
+    t[comp_at + 8 : comp_at + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        codec.decode_tiff_u16(bytes(t))
+    try:
+        import PIL  # noqa: F401
+
+        has_pillow = True
+    except ImportError:
+        has_pillow = False
+    if not has_pillow:
+        with pytest.raises(NotImplementedError):
+            codec.decode(bytes(t), 48, 32, "tiff")

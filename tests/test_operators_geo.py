@@ -268,3 +268,116 @@ def test_within_distance_join_exact_vs_numpy(spark):
         ).collect()
     }
     assert salted == want
+
+
+def test_interval_lookup_join_strategies(spark):
+    """Range join (operators/range_join.py): broadcast and bucketed
+    strategies agree with each other and with a python brute force, on
+    intervals that overlap, abut, leave gaps, and sit exactly on bucket
+    edges; 'left' keeps unmatched probes; bad args raise."""
+    from tiff_enrichment_pipeline_spark.operators.range_join import (
+        interval_lookup_join,
+    )
+
+    iv_rows = [
+        # (band_id, lo, hi) — overlapping, edge-aligned (16.0 = 2×8),
+        # zero-ish width, and a gap above 60
+        (0, 0.0, 10.0), (1, 5.0, 16.0), (2, 16.0, 24.0), (3, 20.0, 21.0),
+        (4, 24.0, 24.5), (5, 40.0, 60.0),
+    ]
+    probe_rows = [(i, v) for i, v in enumerate(
+        [0.0, 4.99, 5.0, 9.999, 10.0, 15.999, 16.0, 20.5, 23.999, 24.0,
+         24.49, 24.5, 39.999, 40.0, 59.999, 60.0, 100.0]
+    )]
+    iv = spark.createDataFrame(iv_rows, "band_id int, lo double, hi double")
+    pb = spark.createDataFrame(probe_rows, "pid int, v double")
+
+    def key(df):
+        return sorted((r["pid"], r["band_id"]) for r in df.collect())
+
+    want = sorted(
+        (p, b)
+        for p, v in probe_rows
+        for b, lo, hi in iv_rows
+        if lo <= v < hi
+    )
+    bc = interval_lookup_join(pb, iv, "v", strategy="broadcast")
+    bk = interval_lookup_join(pb, iv, "v", strategy="bucketed", bucket_width=8.0)
+    auto = interval_lookup_join(pb, iv, "v", strategy="bucketed")  # P50 width
+    assert key(bc) == want
+    assert key(bk) == want
+    assert key(auto) == want
+
+    left = interval_lookup_join(pb, iv, "v", strategy="bucketed",
+                                bucket_width=8.0, how="left")
+    got = {(r["pid"], r["band_id"]) for r in left.collect()}
+    matched_pids = {p for p, _ in want}
+    assert got == set(want) | {
+        (p, None) for p, _ in probe_rows if p not in matched_pids
+    }
+    # bucketed plan is a real equi-join (hash/sort-merge), not a nested loop
+    plan = bk._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+    with pytest.raises(ValueError):
+        interval_lookup_join(pb, iv, "v", strategy="nope")
+    with pytest.raises(ValueError):
+        interval_lookup_join(pb, iv, "v", how="full")
+    with pytest.raises(ValueError):
+        interval_lookup_join(pb, iv, "v", strategy="bucketed", bucket_width=-1)
+
+
+def test_terrain_matches_analytic_gradient(spark):
+    """Terrain operator semantics (not just oracle agreement): on the
+    analytic DEM z = 100 + 50·sin(lon) + 30·cos(lat), the bilinear-surface
+    gradient must approximate the true derivative (dz/dlon = 50·cos(lon),
+    dz/dlat = −30·sin(lat)) at interior points, aspect must point
+    downslope, and a flat tile must give slope 0 / NULL aspect /
+    hillshade 255·cos(45°)."""
+    import math
+
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.operators.elevation import (
+        _M_PER_DEG_LAT,
+        terrain_join,
+    )
+
+    pts = [
+        (0, 5.234, 51.871), (1, 4.481, 52.309), (2, 6.017, 53.155),
+        (3, 3.905, 50.988),
+    ]
+    df = spark.createDataFrame(pts, "pid int, lon double, lat double")
+    out = {r["pid"]: r for r in terrain_join(df, dem_tiles_df(spark)).collect()}
+    for pid, lon, lat in pts:
+        dz_dlon = 50.0 * math.cos(lon)          # m per degree lon
+        dz_dlat = -30.0 * math.sin(lat)
+        m_lon = _M_PER_DEG_LAT * math.cos(math.radians(lat))
+        gx, gy = dz_dlon / m_lon, dz_dlat / _M_PER_DEG_LAT
+        want_slope = math.degrees(math.atan(math.hypot(gx, gy)))
+        want_aspect = math.degrees(math.atan2(-gx, -gy)) % 360.0
+        r = out[pid]
+        assert r["slope_deg"] == pytest.approx(want_slope, abs=0.02)
+        assert r["aspect_deg"] == pytest.approx(want_aspect, abs=1.0)
+        assert 0.0 <= r["hillshade"] <= 255.0
+
+    # flat tile: hand-built constant grid
+    import numpy as np
+
+    g = (np.full((32, 32), 7.0, dtype="<f4")).tobytes()
+    flat = spark.createDataFrame(
+        [(51, 528, g, 1.0, "flat")],
+        "tile_x int, tile_y int, grid binary, accuracy_m double, source string",
+    )
+    p = spark.createDataFrame([(0, 5.15, 52.85)], "pid int, lon double, lat double")
+    r = terrain_join(p, flat).collect()[0]
+    assert r["slope_deg"] == 0.0
+    assert r["aspect_deg"] is None
+    assert r["hillshade"] == pytest.approx(255.0 * math.cos(math.radians(45.0)))
+
+    # no-GPS and off-DEM rows → NULLs
+    misses = spark.createDataFrame(
+        [(1, None, None), (2, 120.0, -45.0)], "pid int, lon double, lat double"
+    )
+    for r in terrain_join(misses, dem_tiles_df(spark)).collect():
+        assert r["slope_deg"] is None and r["aspect_deg"] is None
+        assert r["hillshade"] is None

@@ -378,3 +378,61 @@ def test_upsert_preserves_partition_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == n
     assert back.filter(F.col("alt") == 0.0).count() == n_upd
+
+
+def test_export_geotiff_sink(spark, tmp):
+    """S6 proper: the sink writes REAL GeoTIFF files (stdlib baseline
+    encoder) that decode bit-exact, carry EPSG:4326 georeferencing derived
+    from the same camera model as the engine's affine_from_center, and
+    skip geo tags for no-GPS rows (reference: rasterio_utils.py:235-255)."""
+    import numpy as np
+
+    from tiff_enrichment_pipeline_spark.raster import codec
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    df = images_df(spark, 8)  # capture 7 ≡ no-GPS (fixtures.image_geotag)
+    out = str(tmp / "tifs")
+    manifest = export_geotiff(df, out).collect()
+    assert len(manifest) == df.count()
+    rows = {r["image_id"]: r for r in df.collect()}
+    # engine-side truth for the affine origin, via the Spark columns
+    eng = {
+        r["image_id"]: r
+        for r in df.filter(F.col("lat").isNotNull())
+        .withColumns(
+            dict(
+                zip(
+                    ("px_deg", "py_deg"),
+                    pixel_size_deg(F.col("alt"), F.col("lat")),
+                )
+            )
+        )
+        .withColumn(
+            "affine",
+            affine_from_center(
+                F.col("lon"), F.col("lat"), F.col("w"), F.col("h"),
+                F.col("px_deg"), F.col("py_deg"),
+            ),
+        )
+        .select("image_id", "affine.c", "affine.f", "px_deg", "py_deg")
+        .collect()
+    }
+    n_geo = 0
+    for m in manifest:
+        src = rows[m["image_id"]]
+        payload = Path(m["path"]).read_bytes()
+        assert len(payload) == m["nbytes"]
+        arr, meta = codec.decode_geotiff(payload)
+        want = codec.decode(bytes(src["bytes"]), src["w"], src["h"], src["fmt"])
+        assert np.array_equal(arr, want)
+        if m["georeferenced"]:
+            n_geo += 1
+            e = eng[m["image_id"]]
+            assert meta["epsg"] == 4326
+            # sink's scalar math ≡ engine's Column math (same formulas)
+            assert meta["pixel_scale"][0] == pytest.approx(e["px_deg"], rel=1e-12)
+            assert meta["origin"][0] == pytest.approx(e["c"], rel=1e-12)
+            assert meta["origin"][1] == pytest.approx(e["f"], rel=1e-12)
+        else:
+            assert src["lat"] is None and "pixel_scale" not in meta
+    assert n_geo == 35 and len(manifest) - n_geo == 5  # capture 7's 5 bands

@@ -66,10 +66,16 @@ def images_pdf(n_captures: int = 20) -> pd.DataFrame:
         for band in range(1, 6):
             px = pixel_band(cap, band)
             sel = (cap * 5 + band) % 11
-            fmt = "lossy-q12" if sel == 3 else "png" if sel == 7 else "raw-u16"
+            fmt = (
+                "lossy-q12" if sel == 3
+                else "png" if sel == 7
+                else "tiff" if sel == 5
+                else "raw-u16"
+            )
             payload = (
                 codec.encode_lossy_q12(px) if fmt == "lossy-q12"
                 else codec.encode_png_u16(px) if fmt == "png"
+                else codec.encode_tiff_u16(px) if fmt == "tiff"
                 else codec.encode_raw_u16(px)
             )
             caption = (
@@ -273,6 +279,7 @@ def band_rows_from_orders(
             out.append(
                 codec.encode_lossy_q12(px) if f == "lossy-q12"
                 else codec.encode_png_u16(px) if f == "png"
+                else codec.encode_tiff_u16(px) if f == "tiff"
                 else codec.encode_raw_u16(px)
             )
         return pd.Series(out)
@@ -287,6 +294,7 @@ def band_rows_from_orders(
     fmt = (
         F.when((F.col("capture_no") * 5 + F.col("band")) % 11 == 3, "lossy-q12")
         .when((F.col("capture_no") * 5 + F.col("band")) % 11 == 7, "png")
+        .when((F.col("capture_no") * 5 + F.col("band")) % 11 == 5, "tiff")
         .otherwise("raw-u16")
     )
     return (

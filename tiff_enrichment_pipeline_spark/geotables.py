@@ -290,6 +290,18 @@ def elevation_bilinear_sql(lon: str, lat: str) -> str:
     computation expressible in SQL: same tile/index/clamp/weight arithmetic,
     same float32 quantization of the 4 corner samples, double elsewhere.
     """
+    p = _bilinear_pieces_sql(lon, lat)
+    wx, wy = p["wx"], p["wy"]
+    v00, v10, v01, v11 = p["v00"], p["v10"], p["v01"], p["v11"]
+    return (
+        f"((1.0-({wy}))*((1.0-({wx}))*{v00} + ({wx})*{v10})"
+        f" + ({wy})*((1.0-({wx}))*{v01} + ({wx})*{v11}))"
+    )
+
+
+def _bilinear_pieces_sql(lon: str, lat: str) -> dict[str, str]:
+    """The shared tile/index/clamp/weight/corner fragments behind both the
+    bilinear sample and its analytic gradient (terrain_sql)."""
     tx = f"FLOOR(({lon})/{DEM_TILE_DEG})"
     ty = f"FLOOR(({lat})/{DEM_TILE_DEG})"
     fx = f"((({lon}) - {tx}*{DEM_TILE_DEG})/{DEM_STEP} - 0.5)"
@@ -302,9 +314,63 @@ def elevation_bilinear_sql(lon: str, lat: str) -> str:
     cx1 = f"({tx}*{DEM_TILE_DEG} + (({i0})+1.5)*{DEM_STEP})"
     cy0 = f"({ty}*{DEM_TILE_DEG} + (({j0})+0.5)*{DEM_STEP})"
     cy1 = f"({ty}*{DEM_TILE_DEG} + (({j0})+1.5)*{DEM_STEP})"
-    v00, v10 = dem_value_sql(cx0, cy0), dem_value_sql(cx1, cy0)
-    v01, v11 = dem_value_sql(cx0, cy1), dem_value_sql(cx1, cy1)
-    return (
-        f"((1.0-({wy}))*((1.0-({wx}))*{v00} + ({wx})*{v10})"
-        f" + ({wy})*((1.0-({wx}))*{v01} + ({wx})*{v11}))"
+    return {
+        "wx": wx,
+        "wy": wy,
+        "v00": dem_value_sql(cx0, cy0),
+        "v10": dem_value_sql(cx1, cy0),
+        "v01": dem_value_sql(cx0, cy1),
+        "v11": dem_value_sql(cx1, cy1),
+    }
+
+
+# sun position for hillshade (the GDAL defaults): azimuth 315°, altitude 45°
+HILLSHADE_AZ_DEG = 315.0
+HILLSHADE_ALT_DEG = 45.0
+# pi CAST to DOUBLE up front: DuckDB otherwise runs the chain in DECIMAL
+# (16-digit literal → DECIMAL(18,15)) and overflows; with one double
+# operand every step is IEEE double in written order, matching numpy
+_M_PER_DEG_LAT_SQL = "(2.0*CAST(3.141592653589793 AS DOUBLE)*6371000.0/360.0)"
+
+
+def terrain_sql(lon: str, lat: str) -> dict[str, str]:
+    """Closed-form SQL for slope/aspect/hillshade — the analytic gradient
+    of the SAME bilinear surface elevation_bilinear_sql samples (identical
+    corner values, clamps and weights; the engine twin is
+    operators/elevation._terrain_vec):
+
+      dz/dlon(grid) = (1-wy)(v10-v00) + wy(v11-v01)
+      dz/dlat(grid) = (1-wx)(v01-v00) + wx(v11-v10)
+
+    converted to m/m via the probe-latitude meters-per-degree, then
+      slope  = degrees(atan(|∇z|))
+      aspect = azimuth of the DOWNSLOPE direction, clockwise from north,
+               NULL when flat
+      hillshade = 255·(cos z·cos s + sin z·sin s·cos(az − a)), clamped ≥0
+    """
+    p = _bilinear_pieces_sql(lon, lat)
+    wx, wy = p["wx"], p["wy"]
+    v00, v10, v01, v11 = p["v00"], p["v10"], p["v01"], p["v11"]
+    gxg = f"((1.0-({wy}))*({v10} - {v00}) + ({wy})*({v11} - {v01}))"
+    gyg = f"((1.0-({wx}))*({v01} - {v00}) + ({wx})*({v11} - {v10}))"
+    m_lon = f"({_M_PER_DEG_LAT_SQL}*COS(RADIANS({lat})))"
+    gx = f"({gxg}/({DEM_STEP}*{m_lon}))"
+    gy = f"({gyg}/({DEM_STEP}*{_M_PER_DEG_LAT_SQL}))"
+    slope_r = f"ATAN(SQRT({gx}*{gx} + {gy}*{gy}))"
+    az_raw = f"DEGREES(ATAN2(-{gx}, -{gy}))"
+    aspect = (
+        f"(CASE WHEN {gxg} = 0.0 AND {gyg} = 0.0 THEN NULL "
+        f"ELSE {az_raw} + (CASE WHEN {az_raw} < 0.0 THEN 360.0 ELSE 0.0 END) END)"
     )
+    zen = f"RADIANS({90.0 - HILLSHADE_ALT_DEG})"
+    azr = f"RADIANS({HILLSHADE_AZ_DEG})"
+    ar = f"ATAN2(-{gx}, -{gy})"
+    hs = (
+        f"GREATEST(0.0, 255.0*(COS({zen})*COS({slope_r})"
+        f" + SIN({zen})*SIN({slope_r})*COS({azr} - {ar})))"
+    )
+    return {
+        "slope_deg": f"DEGREES({slope_r})",
+        "aspect_deg": aspect,
+        "hillshade": hs,
+    }

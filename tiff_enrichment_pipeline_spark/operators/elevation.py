@@ -277,3 +277,129 @@ def _elevation_partitioned(
             F.col("elevation_accuracy_m"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Terrain derivatives: slope / aspect / hillshade
+# ---------------------------------------------------------------------------
+
+# sun position defaults shared with geotables.terrain_sql (GDAL defaults)
+_HS_AZ_DEG = 315.0
+_HS_ALT_DEG = 45.0
+_M_PER_DEG_LAT = 2.0 * 3.141592653589793 * 6371000.0 / 360.0
+
+
+def _terrain_vec(
+    g: np.ndarray, lon_v: np.ndarray, lat_v: np.ndarray, tx: int, ty: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(slope_deg, aspect_deg, hillshade) — the analytic gradient of the
+    SAME bilinear surface _bilinear_vec samples (identical corners, clamps
+    and weights; SQL twin: geotables.terrain_sql). Aspect is the azimuth
+    of the downslope direction, clockwise from north, NaN when flat."""
+    fx = (lon_v - tx * DEM_TILE_DEG) / DEM_STEP - 0.5
+    fy = (lat_v - ty * DEM_TILE_DEG) / DEM_STEP - 0.5
+    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
+    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
+    wx = np.clip(fx - i0, 0.0, 1.0)
+    wy = np.clip(fy - j0, 0.0, 1.0)
+    v00, v10 = g[j0, i0], g[j0, i0 + 1]
+    v01, v11 = g[j0 + 1, i0], g[j0 + 1, i0 + 1]
+    gxg = (1.0 - wy) * (v10 - v00) + wy * (v11 - v01)
+    gyg = (1.0 - wx) * (v01 - v00) + wx * (v11 - v10)
+    m_lon = _M_PER_DEG_LAT * np.cos(np.radians(lat_v))
+    gx = gxg / (DEM_STEP * m_lon)
+    gy = gyg / (DEM_STEP * _M_PER_DEG_LAT)
+    slope_r = np.arctan(np.sqrt(gx * gx + gy * gy))  # NOT hypot: SQL twin is SQRT
+    ar = np.arctan2(-gx, -gy)
+    aspect = np.degrees(ar)
+    aspect = np.where(aspect < 0.0, aspect + 360.0, aspect)
+    aspect = np.where((gxg == 0.0) & (gyg == 0.0), np.nan, aspect)
+    zen = np.radians(90.0 - _HS_ALT_DEG)
+    azr = np.radians(_HS_AZ_DEG)
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope_r)
+        + np.sin(zen) * np.sin(slope_r) * np.cos(azr - ar)
+    )
+    return np.degrees(slope_r), aspect, np.maximum(hs, 0.0)
+
+
+def terrain_join(
+    images: DataFrame,
+    dem_tiles: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """images ⟕ DEM → + slope_deg / aspect_deg / hillshade (NULL off-DEM
+    or without GPS). Broadcast-grid strategy, same data motion as
+    elevation_join: grids cross to Python once via a broadcast variable,
+    the UDF ships only (lon, lat, tile key); for a planetary DEM use the
+    cogrouped pattern of _elevation_partitioned with _terrain_vec."""
+    from pyspark.sql.types import StructField, StructType
+
+    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
+    grids = {
+        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
+        .reshape(DEM_N, DEM_N)
+        .astype(np.float64)
+        for r in tile_rows
+    }
+    bc = images.sparkSession.sparkContext.broadcast(grids)
+    t_struct = StructType(
+        [
+            StructField("slope_deg", DoubleType()),
+            StructField("aspect_deg", DoubleType()),
+            StructField("hillshade", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(t_struct)
+    def _terr(
+        lon_s: pd.Series, lat_s: pd.Series, tx_s: pd.Series, ty_s: pd.Series
+    ) -> pd.DataFrame:
+        g_by_tile = bc.value
+        lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
+        lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
+        n = len(lon_v)
+        out = {
+            "slope_deg": np.full(n, np.nan),
+            "aspect_deg": np.full(n, np.nan),
+            "hillshade": np.full(n, np.nan),
+        }
+        valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
+        if valid.any():
+            tx_v = np.where(valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
+            ty_v = np.where(valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
+            key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            bounds = np.r_[starts, len(sk)]
+            for gi in range(len(starts)):
+                if sk[starts[gi]] == -(2**62):
+                    continue
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                tile = (int(tx_v[rows[0]]), int(ty_v[rows[0]]))
+                g = g_by_tile.get(tile)
+                if g is None:
+                    continue
+                s, a, h = _terrain_vec(
+                    g, lon_v[rows], lat_v[rows], tile[0], tile[1]
+                )
+                out["slope_deg"][rows] = s
+                out["aspect_deg"][rows] = a
+                out["hillshade"][rows] = h
+        return pd.DataFrame(out)
+
+    tx, ty = tile_key(F.col(lon), F.col(lat))
+    probe = images.withColumn("tile_x", tx).withColumn("tile_y", ty)
+    on_dem = dem_tiles.select("tile_x", "tile_y", F.lit(True).alias("_on_dem"))
+    joined = probe.join(F.broadcast(on_dem), ["tile_x", "tile_y"], "left")
+    t = _terr(F.col(lon), F.col(lat), F.col("tile_x"), F.col("tile_y"))
+    out = joined.withColumn("_t", F.when(F.col("_on_dem"), t))
+    # NaN → NULL (flat-aspect and off-DEM rows) so engine NULL semantics
+    # match the SQL oracle's CASE WHEN
+    for c in ("slope_deg", "aspect_deg", "hillshade"):
+        out = out.withColumn(
+            c, F.when(~F.isnan(F.col(f"_t.{c}")), F.col(f"_t.{c}"))
+        )
+    return out.drop("_t", "_on_dem")

@@ -2636,3 +2636,197 @@ ORACLES.update(
         "zonal_elevation": q_zonal_elevation_sql(),
     }
 )
+
+
+# ===========================================================================
+# Batch 8 (round 3): pivot, grouping sets, time-range sliding window,
+# 1-D interval range join. Past-cap by design (family coverage in the
+# prefix is already complete); value-checked by tests/test_oracle_parity.py.
+# ===========================================================================
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation): order counts by status
+    with one column per priority. Spark expands an explicit pivot value
+    list into CASE aggregates BEFORE the shuffle — one skew-free hash
+    aggregate, no second pass (the values-unknown form would cost an extra
+    distinct scan, which is why the list is pinned)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0, _PRIORITIES)
+    )
+
+
+def q_pivot_status_sql() -> str:
+    cols = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS \"{p}\""
+        for p in _PRIORITIES
+    )
+    return f"""SELECT o_orderstatus, {cols}
+    FROM orders GROUP BY o_orderstatus"""
+
+
+def q_grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube are sugar for
+    (SURVEY §2.6): explicit subset list ((status), (priority), ()) via the
+    DataFrame groupingSets API, with grouping_id disambiguating the null
+    rows. Same single-pass pre-shuffle expansion as rollup/cube."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def q_grouping_sets_status_sql() -> str:
+    return """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+
+def q_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range sliding window (W-family, the reference's "rolling
+    hourly load" view): per event, count and exact sum of `value` over the
+    SAME USER's events in the inclusive previous hour — a RANGE frame over
+    epoch seconds, NOT a row frame (irregular event spacing means row
+    offsets are meaningless). Sum is exact integer micro-units so frame
+    summation order can't produce engine-dependent floats; one shuffle on
+    the uniform user_id key."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")  # UTC session → epoch
+    w = (
+        Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).over(w)
+            / 1_000_000.0
+        ).alias("sum_1h"),
+    )
+
+
+def q_sliding_1h_sql() -> str:
+    return """SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w / 1000000.0 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+
+def _altitude_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic irregular altitude bands derived from `nation` (25
+    rows): lo = 16 + 4·key, width 3..8 — bands overlap and leave gaps, so
+    the range join exercises multi-match AND no-match rows."""
+    n = _t(spark, sf_dir, "nation")
+    lo = F.lit(16.0) + F.col("n_nationkey").cast("double") * 4.0
+    return n.select(
+        F.col("n_nationkey").alias("band_id"),
+        lo.alias("lo"),
+        (lo + 3.0 + (F.col("n_nationkey") * 7 % 6).cast("double")).alias("hi"),
+    )
+
+
+_BANDS_SQL = """SELECT n_nationkey AS band_id,
+           16.0 + CAST(n_nationkey AS DOUBLE)*4.0 AS lo,
+           16.0 + CAST(n_nationkey AS DOUBLE)*4.0 + 3.0
+             + CAST(n_nationkey*7 % 6 AS DOUBLE) AS hi
+    FROM nation"""
+
+
+def q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (operators/range_join.py, the brief's "range
+    join"): image altitude ∈ [lo, hi) altitude bands, BUCKETED strategy —
+    intervals exploded over fixed-width buckets, probe bucketed, hash
+    equi-join + exact refine (no cross join anywhere). The broadcast
+    strategy is proven value-identical in
+    tests/test_operators_geo::test_interval_lookup_join_strategies."""
+    from tiff_enrichment_pipeline_spark.operators.range_join import (
+        interval_lookup_join,
+    )
+
+    img = geotables.images_geo(spark, sf_dir).select("image_id", "alt")
+    out = interval_lookup_join(
+        img, _altitude_bands(spark, sf_dir), "alt",
+        strategy="bucketed", bucket_width=8.0,
+    )
+    return out.select("image_id", "band_id", "lo", "hi")
+
+
+def q_range_band_sql() -> str:
+    return f"""{_IMAGES_CTE},
+    bands AS ({_BANDS_SQL})
+    SELECT i.image_id, b.band_id, b.lo, b.hi
+    FROM images i JOIN bands b ON b.lo <= i.alt AND i.alt < b.hi"""
+
+
+QUERIES.update(
+    {
+        "pivot_status": q_pivot_status,
+        "grouping_sets_status": q_grouping_sets_status,
+        "sliding_1h": q_sliding_1h,
+        "range_band": q_range_band,
+    }
+)
+ORACLES.update(
+    {
+        "pivot_status": q_pivot_status_sql(),
+        "grouping_sets_status": q_grouping_sets_status_sql(),
+        "sliding_1h": q_sliding_1h_sql(),
+        "range_band": q_range_band_sql(),
+    }
+)
+
+
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain derivatives (the raster-analysis ops GDAL's gdaldem gives
+    the reference's stack): slope / aspect / hillshade per image point,
+    computed as the ANALYTIC GRADIENT of the same bilinear DEM surface the
+    elevation operator samples — same broadcast-grid data motion, zero
+    extra shuffles. Values rounded to 6 dp to absorb cross-engine libm
+    ulp differences (the only non-exact arithmetic is trig)."""
+    from tiff_enrichment_pipeline_spark.operators.elevation import terrain_join
+
+    img = geotables.images_geo(spark, sf_dir)
+    out = terrain_join(img, dem_tiles_df(spark))
+    return out.select(
+        "image_id",
+        F.round("slope_deg", 6).alias("slope_deg"),
+        F.round("aspect_deg", 6).alias("aspect_deg"),
+        F.round("hillshade", 6).alias("hillshade"),
+    )
+
+
+def q_terrain_sql() -> str:
+    t = geotables.terrain_sql("lon", "lat")
+    in_dem = "lon >= 3.0 AND lon < 7.3 AND lat >= 50.7 AND lat < 53.6"
+    return f"""{_IMAGES_CTE}
+    SELECT image_id,
+           CASE WHEN {in_dem} THEN ROUND({t['slope_deg']}, 6) END AS slope_deg,
+           CASE WHEN {in_dem} THEN ROUND({t['aspect_deg']}, 6) END AS aspect_deg,
+           CASE WHEN {in_dem} THEN ROUND({t['hillshade']}, 6) END AS hillshade
+    FROM images"""
+
+
+QUERIES.update({"terrain": q_terrain})
+ORACLES.update({"terrain": q_terrain_sql()})

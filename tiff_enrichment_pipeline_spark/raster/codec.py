@@ -17,8 +17,15 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   five scanline de-filters (None/Sub/Up/Average/Paeth). Lossless; mirrors
   the reference's compressed-raster handling
   (src/pipeline/utils/rasterio_utils.py:70-116) without any codec lib.
-- ``tiff``/… : gated behind optional imports; raise NotImplementedError
-  when the codec library is absent.
+- ``tiff``      : REAL baseline TIFF 6.0, stdlib ``struct`` + ``zlib``
+  alone — single-plane grayscale uint16/uint8, strip layout, Compression
+  1 (none) or 8 (Deflate), Predictor 2 (horizontal differencing), both
+  byte orders on decode. Optional GeoTIFF georeferencing tags
+  (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory 34735)
+  so the S6 sink emits files GDAL/rasterio/QGIS can open directly
+  (reference writes via rasterio, utils/rasterio_utils.py:235-255).
+  Exotic TIFF variants (tiles, LZW/JPEG, RGB) fall back to a
+  Pillow-gated path and raise NotImplementedError when absent.
 
 PSNR (peak 65535) is the per-row invariant from BASELINE.json input_hint:
 decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
@@ -164,6 +171,223 @@ def decode_png_u16(payload: bytes) -> np.ndarray:
     return out.reshape(h, w).astype(np.uint16)
 
 
+# ---------------------------------------------------------------------------
+# Baseline TIFF 6.0 / GeoTIFF — pure stdlib (struct + zlib + numpy)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
+
+# GeoTIFF GeoKey ids (GeoTIFF 1.1 / OGC 19-008r4 — public spec)
+_GK_MODEL_TYPE = 1024       # 2 = geographic lat/lon
+_GK_RASTER_TYPE = 1025      # 1 = PixelIsArea
+_GK_GEODETIC_CRS = 2048     # 4326 = WGS84
+
+
+def _tiff_entry_bytes(tag: int, typ: int, vals: list, data: bytearray) -> bytes:
+    """One 12-byte IFD entry; values >4 bytes are appended to ``data``
+    (the shared out-of-line region) and referenced by offset."""
+    vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+    if len(vb) <= 4:
+        return struct.pack("<HHI", tag, typ, len(vals)) + vb.ljust(4, b"\x00")
+    if len(data) % 2:
+        data += b"\x00"  # TIFF offsets must be word-aligned
+    off = len(data)
+    data += vb
+    return struct.pack("<HHI", tag, typ, len(vals)) + struct.pack("<I", off)
+
+
+def encode_tiff_u16(
+    band: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    predictor: int = 2,
+    geo: dict | None = None,
+    level: int = 6,
+) -> bytes:
+    """Grayscale uint16 baseline TIFF (little-endian, strip layout).
+
+    ``compression``: ``'none'`` (tag 1) or ``'deflate'`` (tag 8, zlib).
+    ``predictor=2`` applies per-row horizontal differencing before deflate
+    (the standard GeoTIFF setting — raster neighbours are correlated, so
+    differences compress far better than raw samples).
+    ``geo``: optional ``{"pixel_scale": (sx_deg, sy_deg), "origin":
+    (west_deg, north_deg), "epsg": 4326}`` → writes ModelPixelScale,
+    ModelTiepoint (raster (0,0,0) ↦ origin) and a GeoKeyDirectory, i.e. a
+    real GeoTIFF (mirrors the reference's ``from_origin(west, north, px,
+    py)`` georeferencing, src/pipeline/processor.py:117-133)."""
+    if band.ndim != 2:
+        raise ValueError("band must be 2-D")
+    arr = band.astype(np.uint16)
+    h, w = arr.shape
+    if compression == "none":
+        comp_tag, predictor = 1, 1
+    elif compression == "deflate":
+        comp_tag = 8
+    else:
+        raise ValueError(f"unsupported tiff compression {compression!r}")
+    rows_per_strip = max(1, min(rows_per_strip, h))
+
+    data = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD offset patched below
+    offsets, counts = [], []
+    for y0 in range(0, h, rows_per_strip):
+        s = arr[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            d = s.copy()
+            d[:, 1:] = s[:, 1:] - s[:, :-1]  # uint16 wraparound is the spec
+            s = d
+        raw = np.ascontiguousarray(s.astype("<u2")).tobytes()
+        strip = zlib.compress(raw, level) if comp_tag == 8 else raw
+        if len(data) % 2:
+            data += b"\x00"
+        offsets.append(len(data))
+        counts.append(len(strip))
+        data += strip
+
+    tags: list[tuple[int, int, list]] = [
+        (256, _T_LONG, [w]),
+        (257, _T_LONG, [h]),
+        (258, _T_SHORT, [16]),
+        (259, _T_SHORT, [comp_tag]),
+        (262, _T_SHORT, [1]),  # BlackIsZero
+        (273, _T_LONG, offsets),
+        (277, _T_SHORT, [1]),
+        (278, _T_LONG, [rows_per_strip]),
+        (279, _T_LONG, counts),
+        (339, _T_SHORT, [1]),  # unsigned integer samples
+    ]
+    if comp_tag == 8:
+        tags.append((317, _T_SHORT, [predictor]))
+    if geo is not None:
+        sx, sy = geo["pixel_scale"]
+        west, north = geo["origin"]
+        epsg = int(geo.get("epsg", 4326))
+        keydir = [
+            1, 1, 0, 3,  # KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys
+            _GK_MODEL_TYPE, 0, 1, 2,
+            _GK_RASTER_TYPE, 0, 1, 1,
+            _GK_GEODETIC_CRS, 0, 1, epsg,
+        ]
+        tags.append((33550, _T_DOUBLE, [float(sx), float(sy), 0.0]))
+        tags.append((33922, _T_DOUBLE, [0.0, 0.0, 0.0, float(west), float(north), 0.0]))
+        tags.append((34735, _T_SHORT, keydir))
+
+    entries = [_tiff_entry_bytes(t, ty, v, data) for t, ty, v in sorted(tags)]
+    if len(data) % 2:
+        data += b"\x00"
+    struct.pack_into("<I", data, 4, len(data))  # header → IFD offset
+    data += struct.pack("<H", len(entries))
+    for e in entries:
+        data += e
+    data += struct.pack("<I", 0)  # no next IFD
+    return bytes(data)
+
+
+def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Baseline TIFF decode → (uint16 array, geo metadata dict).
+
+    Handles both byte orders, strip layout, Compression 1/8, Predictor
+    1/2, bit depth 8/16, single-plane grayscale. Raises
+    NotImplementedError on variants outside the baseline profile (tiled
+    layout, other compressions, multi-sample) so ``decode`` can route
+    those to the optional-Pillow fallback. Geo metadata (when the GeoTIFF
+    tags are present): ``pixel_scale``, ``tiepoint``, ``origin``,
+    ``epsg``, ``model_type``, ``raster_type``."""
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    (magic,) = struct.unpack(e + "H", payload[2:4])
+    if magic == 43:
+        raise NotImplementedError("BigTIFF not supported by the stdlib path")
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
+        fmt = _TIFF_TYPE_FMT.get(typ)
+        if fmt is None:
+            continue  # rationals/ascii we never need — skip, don't fail
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            src = payload[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", payload[off + 8 : off + 12])
+            src = payload[voff : voff + size]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, src))
+
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offs, cnts = tags[273], tags[279]
+    except KeyError as exc:
+        if 322 in tags or 324 in tags:  # TileWidth/TileOffsets
+            raise NotImplementedError("tiled TIFF not supported by the stdlib path") from exc
+        raise ValueError("TIFF missing required baseline tags") from exc
+    bits = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    pred = tags.get(317, [1])[0]
+    sfmt = tags.get(339, [1])[0]
+    if spp != 1 or bits not in (8, 16) or sfmt != 1:
+        raise NotImplementedError(
+            f"TIFF profile outside baseline grayscale (spp={spp}, bits={bits}, fmt={sfmt})"
+        )
+    if comp not in (1, 8):
+        raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
+
+    nbytes = bits // 8
+    mask = (1 << bits) - 1
+    chunks = []
+    for y0, o, c in zip(range(0, h, rps), offs, cnts):
+        raw = payload[o : o + c]
+        if comp == 8:
+            raw = zlib.decompress(raw)
+        nrows = min(rps, h - y0)
+        s = (
+            np.frombuffer(raw[: nrows * w * nbytes], dtype=e + ("u2" if bits == 16 else "u1"))
+            .reshape(nrows, w)
+            .astype(np.uint16)
+        )
+        if pred == 2:
+            s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(np.uint16)
+        chunks.append(s)
+    arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+    meta: dict = {}
+    if 33550 in tags:
+        meta["pixel_scale"] = (tags[33550][0], tags[33550][1])
+    if 33922 in tags:
+        tp = tags[33922]
+        meta["tiepoint"] = tuple(tp[:6])
+        meta["origin"] = (tp[3], tp[4])
+    if 34735 in tags:
+        kd = tags[34735]
+        for k in range(kd[3]):
+            key_id, loc, cnt, val = kd[4 + 4 * k : 8 + 4 * k]
+            if loc == 0 and cnt == 1:
+                if key_id == _GK_MODEL_TYPE:
+                    meta["model_type"] = val
+                elif key_id == _GK_RASTER_TYPE:
+                    meta["raster_type"] = val
+                elif key_id == _GK_GEODETIC_CRS:
+                    meta["epsg"] = val
+    return arr, meta
+
+
+def decode_tiff_u16(payload: bytes) -> np.ndarray:
+    return decode_geotiff(payload)[0]
+
+
 def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one band payload → uint16 (h, w). Vector-friendly: call per
     row *inside* an Arrow batch, never as a row-at-a-time Python UDF."""
@@ -178,20 +402,29 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return arr
     if fmt == "tiff":
         try:
-            import io
+            arr = decode_tiff_u16(payload)  # stdlib baseline profile
+        except NotImplementedError:
+            # exotic variant (tiles, LZW/JPEG, RGB, BigTIFF) → optional Pillow
+            try:
+                import io
 
-            from PIL import Image  # noqa: PLC0415
-        except ImportError as e:  # codec libs absent in this container
-            raise NotImplementedError(
-                "tiff decode requires Pillow (not installed); "
-                "use raw-u16/lossy-q12/png or ship Pillow via --py-files env"
-            ) from e
-        return np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as e:  # codec libs absent in this container
+                raise NotImplementedError(
+                    "non-baseline tiff decode requires Pillow (not installed); "
+                    "baseline grayscale strips (none/deflate) decode stdlib-only"
+                ) from e
+            arr = np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
+        if arr.shape != (h, w):
+            raise ValueError(
+                f"tiff dimensions {arr.shape} != metadata ({h}, {w})"
+            )
+        return arr
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt in ("raw-u16", "png")
+    return fmt in ("raw-u16", "png", "tiff")
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray, peak: float = PEAK_U16) -> float:

@@ -275,3 +275,109 @@ def upsert_by_key(
             f"previous table preserved at {old}"
         )
     _hadoop_delete(spark, old)
+
+
+# ---------------------------------------------------------------------------
+# S6: GeoTIFF file sink — real .tif files per image, distributed write
+# ---------------------------------------------------------------------------
+
+GEOTIFF_MANIFEST_SCHEMA = (
+    "image_id string, path string, nbytes long, sha256 string, "
+    "georeferenced boolean"
+)
+
+
+def export_geotiff(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+) -> DataFrame:
+    """Write one real GeoTIFF file per image row (S6 — the reference's
+    enriched-GeoTIFF output, src/pipeline/utils/rasterio_utils.py:235-255,
+    done here with the pure-stdlib baseline encoder instead of rasterio).
+
+    Input needs the payload columns (``image_id bytes w h fmt``) plus the
+    GPS columns (``lat lon alt``). Rows with GPS get ModelPixelScale /
+    ModelTiepoint / GeoKeyDirectory(EPSG:4326) tags derived from the same
+    camera model as ``functions.geo.pixel_size_deg`` + ``affine_from_center``
+    (west/north = image-center GPS minus half the pixel extent); no-GPS rows
+    get a plain baseline TIFF. Returns a LAZY manifest DataFrame
+    ``image_id path nbytes sha256 georeferenced`` — consuming it (collect /
+    write) is what drives the file writes; each Spark task writes only its
+    own partition's files, so the sink scales with executors. ``out_dir``
+    must be a task-reachable filesystem (local/NFS in this sandbox; an
+    object store needs the Hadoop FS API instead of ``open``)."""
+    import hashlib
+    import math
+    import os
+
+    import pandas as pd
+
+    from tiff_enrichment_pipeline_spark.functions.geo import (
+        EARTH_RADIUS_M,
+        FOCAL_MM,
+        SENSOR_H_MM,
+        SENSOR_H_PX,
+        SENSOR_W_MM,
+        SENSOR_W_PX,
+    )
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "lat", "lon", "alt"]
+    m_lat = 2.0 * math.pi * EARTH_RADIUS_M / 360.0
+
+    def _write_batches(it):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                px = codec.decode(bytes(r.bytes), w, h, r.fmt)
+                geo = None
+                has_gps = r.lat is not None and not pd.isna(r.lat)
+                if has_gps:
+                    lat, lon = float(r.lat), float(r.lon)
+                    alt = float(r.alt) if not pd.isna(r.alt) else 0.0
+                    m_lon = m_lat * math.cos(math.radians(lat))
+                    gx = SENSOR_W_MM * alt / (FOCAL_MM * SENSOR_W_PX)
+                    gy = SENSOR_H_MM * alt / (FOCAL_MM * SENSOR_H_PX)
+                    px_deg, py_deg = gx / m_lon, gy / m_lat
+                    geo = {
+                        "pixel_scale": (px_deg, py_deg),
+                        "origin": (
+                            lon - w / 2.0 * px_deg,
+                            lat + h / 2.0 * py_deg,
+                        ),
+                        "epsg": 4326,
+                    }
+                payload = codec.encode_tiff_u16(
+                    px,
+                    compression=compression,
+                    rows_per_strip=rows_per_strip,
+                    geo=geo,
+                )
+                name = r.image_id
+                if not name.lower().endswith((".tif", ".tiff")):
+                    name += ".tif"
+                path = os.path.join(out_dir, name)
+                with open(path, "wb") as f:
+                    f.write(payload)
+                out.append(
+                    (
+                        r.image_id,
+                        path,
+                        len(payload),
+                        hashlib.sha256(payload).hexdigest(),
+                        has_gps,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "path", "nbytes", "sha256", "georeferenced",
+                ],
+            )
+
+    return df.select(*cols).mapInPandas(_write_batches, GEOTIFF_MANIFEST_SCHEMA)
