@@ -354,3 +354,63 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_kmeans_refine_converges_to_true_clusters(spark):
+    """Distributed spherical-Lloyd refinement (operators/ann.kmeans_refine):
+    on 4 well-separated planted clusters, full-corpus refinement must (a)
+    recover the true cluster directions, (b) monotonically shrink centroid
+    movement, (c) early-stop under tol, (d) improve-or-match the spherical
+    objective (mean max-dot) vs the sample-trained quantizer, and (e) keep
+    empty lists' previous centroids without producing NaNs."""
+    from tiff_enrichment_pipeline_spark.operators.ann import (
+        ivf_assign_df,
+        kmeans_refine,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    true = np.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    )
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = true[c] + 0.15 * rng.standard_normal(4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # start from perturbed truth (one centroid per basin — Lloyd is a
+    # local optimizer, so basin coverage is the init's job, convergence
+    # within basins is what refinement must deliver)
+    pert = true + 0.25 * rng.standard_normal(true.shape)
+    pert = pert / np.linalg.norm(pert, axis=1)[:, None]
+    cents, shifts = kmeans_refine(df, pert, iters=8, tol=1e-9)
+    assert len(shifts) <= 8 and shifts[0] >= shifts[-1]
+    # every true direction matched by some centroid (cosine > 0.98)
+    for t in true:
+        assert (cents @ t).max() > 0.98
+    # and refining the (possibly badly-initialized) sample-trained
+    # quantizer must never make its objective worse
+    cents0 = train_centroids(df, 4, sample_n=12)
+    cents_s, _ = kmeans_refine(df, cents0, iters=8, tol=1e-9)
+
+    def objective(C):
+        V = np.array([r[1] for r in rows])
+        V = V / np.linalg.norm(V, axis=1)[:, None]
+        return float((V @ C.T).max(axis=1).mean())
+
+    assert objective(cents_s) >= objective(cents0) - 1e-12
+
+    # assignments agree with the refined quantizer's argmax
+    a = ivf_assign_df(df, cents).select("vec_id", "ivf_list").collect()
+    V = {r[0]: np.array(r[1]) for r in rows}
+    for r in a[:50]:
+        v = V[r["vec_id"]] / np.linalg.norm(V[r["vec_id"]])
+        assert r["ivf_list"] == int((cents @ v).argmax())
+
+    # empty list: k=6 over 4 clusters — refined set must stay finite/unit
+    c6 = train_centroids(df, 6, sample_n=12)
+    r6, _ = kmeans_refine(df, c6, iters=3)
+    assert np.isfinite(r6).all()
+    assert np.allclose(np.linalg.norm(r6, axis=1), 1.0)

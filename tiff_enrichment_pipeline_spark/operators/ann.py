@@ -271,6 +271,77 @@ def train_centroids(
     return _kmeans_np(M / norms[:, None], n_lists)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed spherical-Lloyd refinement of the sample-trained coarse
+    quantizer — the iterative-algorithm shape done Spark-style.
+
+    ``train_centroids`` sees only a bounded sample; at 100 TB the sample
+    can miss density structure, so this refines against the FULL corpus
+    without ever collecting it. Each round is one corpus pass:
+
+      broadcast centroids → Arrow argmax assignment (``ivf_assign_df``) →
+      normalize + posexplode inside Catalyst (codegen; partial aggregation
+      makes the shuffle k×d-sized) → per-(list, dim) sum/count hash-agg →
+      collect k×d rows (independent of |corpus|) → driver renormalizes
+      and re-broadcasts.
+
+    Spherical k-means: vectors are unit-normalized before averaging and
+    each new centroid is the renormalized mean (assignment is cosine /
+    max-dot, matching ``ivf_assign_df``). Empty lists keep their previous
+    centroid (standard Lloyd degeneracy handling). Stops early when the
+    max centroid L2 movement < ``tol``. Returns (centroids, shifts) with
+    one shift entry per executed round.
+    """
+    k, d = centroids.shape
+    C = centroids.copy()
+    vec = F.col(vec_col)
+    norm2 = F.aggregate(
+        vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(norm2)
+    safe_norm = F.when(norm > 0.0, norm).otherwise(F.lit(1.0))
+    shifts: list[float] = []
+    for _ in range(iters):
+        assigned = ivf_assign_df(corpus, C, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "ivf_list",
+                safe_norm.alias("_n"),
+                F.posexplode(vec).alias("dim", "x"),
+            )
+            .groupBy("ivf_list", "dim")
+            .agg(
+                F.sum(F.col("x").cast("double") / F.col("_n")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        S = np.zeros((k, d))
+        counts = np.zeros(k)
+        for r in rows:
+            S[r["ivf_list"], r["dim"]] = r["s"]
+            counts[r["ivf_list"]] = r["n"]
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = S[nz] / counts[nz, None]
+        norms = np.linalg.norm(newC, axis=1)
+        norms[norms == 0] = 1.0
+        newC = newC / norms[:, None]
+        shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
+        C = newC
+        shifts.append(shift)
+        if shift < tol:
+            break
+    return C, shifts
+
+
 def _probes_udf(cents: np.ndarray, nprobe: int, spark_context):
     bc = spark_context.broadcast(cents)
 
@@ -357,12 +428,20 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_n: int = 4096,
+    refine_iters: int = 0,
 ) -> np.ndarray:
     """Persist the corpus as an IVF index: parquet PARTITIONED BY ivf_list
     (one directory per list -> probes prune to nprobe/n_lists of the data at
     scan time) + the centroid matrix at ``<path>/_centroids``. Returns the
-    centroids."""
+    centroids. ``refine_iters > 0`` runs that many distributed
+    spherical-Lloyd passes over the FULL corpus after the sample training
+    (``kmeans_refine``) — the build-time knob for corpora whose density the
+    bounded sample misses."""
     cents = train_centroids(corpus, n_lists, id_col, vec_col, sample_n)
+    if refine_iters > 0:
+        cents, _ = kmeans_refine(
+            corpus, cents, id_col, vec_col, iters=refine_iters
+        )
     assigned = ivf_assign_df(corpus, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
         f"{path}/index"
