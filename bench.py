@@ -70,6 +70,8 @@ def run_default() -> None:
         # round-3 breadth: the dedup/multimodal stack gets the same
         # regression guard the geo stack has (VERDICT r2 #8)
         "lsh_dedup_clusters", "phash_neardup", "multimodal_features",
+        # round-3 batch 9: terrain derivatives (UDF-heavy raster path)
+        "terrain",
     ]
     times: dict[str, float] = {}
     steady: dict[str, float] = {}
