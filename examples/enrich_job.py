@@ -69,6 +69,18 @@ def main() -> None:
     lineage.write.mode("overwrite").parquet(f"{out_dir}/lineage")
     metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
     print(f"ENRICHED_ROWS={out.count()}")
+
+    # S6 proper: emit real GeoTIFF files (stdlib baseline encoder, EPSG:4326
+    # tags from the engine's camera model) for the payload-bearing band rows
+    # — the reference's enriched-GeoTIFF output, distributed per task
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    bands = band_rows_from_orders(spark, sf_dir)
+    manifest = export_geotiff(bands, f"{out_dir}/tifs")
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/tif_manifest")
+    n_tifs = spark.read.parquet(f"{out_dir}/tif_manifest").count()
+    print(f"GEOTIFFS_WRITTEN={n_tifs}")
     spark.stop()
 
 

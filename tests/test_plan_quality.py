@@ -183,3 +183,32 @@ def test_asof_join_single_shuffle(spark):
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "station_id" in hash_exchanges[0]
+
+
+def test_terrain_probe_never_shuffles(spark):
+    """Terrain derivatives must inherit elevation's data motion: probe
+    side only broadcast exchanges (plus the deliberate source
+    repartition), one Python crossing, no sort-merge join."""
+    from tiff_enrichment_pipeline_spark.operators.elevation import terrain_join
+
+    df = terrain_join(geotables.images_geo(spark, SF), dem_tiles_df(spark))
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        ls = line.strip()
+        if "Exchange" in ls and "BroadcastExchange" not in ls:
+            assert "RoundRobinPartitioning" in ls, f"unexpected shuffle: {ls}"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sliding_window_single_shuffle(spark):
+    """The 1-hour RANGE window must cost exactly one hash exchange (the
+    user_id partitioning) over the events scan."""
+    from tiff_enrichment_pipeline_spark.queries import q_sliding_1h
+
+    plan = _executed_plan(q_sliding_1h(spark, SF))
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, plan
