@@ -436,3 +436,42 @@ def test_export_geotiff_sink(spark, tmp):
         else:
             assert src["lat"] is None and "pixel_scale" not in meta
     assert n_geo == 35 and len(manifest) - n_geo == 5  # capture 7's 5 bands
+
+
+def test_export_geotiff_tar_archive(spark, tmp):
+    """archive='tar' (the small-files escape hatch): file count is
+    O(partitions) not O(images), every member decodes bit-exact, and the
+    manifest path points into its tar."""
+    import tarfile
+
+    import numpy as np
+
+    from tiff_enrichment_pipeline_spark.raster import codec
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    df = images_df(spark, 6).repartition(3)
+    out = str(tmp / "tars")
+    manifest = export_geotiff(df, out, archive="tar").collect()
+    assert len(manifest) == 30
+    tars = sorted(Path(out).glob("part-*.tar"))
+    assert 1 <= len(tars) <= 3  # O(partitions)
+    assert not list(Path(out).glob("*.tif"))  # no loose per-image files
+    members = {}
+    for t in tars:
+        with tarfile.open(t) as tf:
+            for m in tf.getmembers():
+                members[m.name] = tf.extractfile(m).read()
+    src = {r["image_id"]: r for r in df.collect()}
+    assert len(members) == 30
+    for mrow in manifest:
+        tar_path, member = mrow["path"].split("#")
+        assert Path(tar_path).parent == Path(out)
+        payload = members[member]
+        assert len(payload) == mrow["nbytes"]
+        r = src[mrow["image_id"]]
+        arr, _ = codec.decode_geotiff(payload)
+        want = codec.decode(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        assert np.array_equal(arr, want)
+
+    with pytest.raises(ValueError):
+        export_geotiff(df, out, archive="zip")

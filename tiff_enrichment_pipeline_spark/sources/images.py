@@ -293,6 +293,7 @@ def export_geotiff(
     *,
     compression: str = "deflate",
     rows_per_strip: int = 64,
+    archive: str | None = None,
 ) -> DataFrame:
     """Write one real GeoTIFF file per image row (S6 — the reference's
     enriched-GeoTIFF output, src/pipeline/utils/rasterio_utils.py:235-255,
@@ -308,12 +309,27 @@ def export_geotiff(
     write) is what drives the file writes; each Spark task writes only its
     own partition's files, so the sink scales with executors. ``out_dir``
     must be a task-reachable filesystem (local/NFS in this sandbox; an
-    object store needs the Hadoop FS API instead of ``open``)."""
+    object store needs the Hadoop FS API instead of ``open``).
+
+    ``archive='tar'``: instead of one file per image (the
+    billions-of-small-files failure mode at 100 TB — metadata-server melt,
+    listing cost, per-object PUT overhead), each task streams its
+    partition's GeoTIFFs into ONE uncompressed tar
+    (``part-<partitionId>.tar``; payloads are already deflated). The
+    manifest ``path`` column then points at ``<tar>#<member>``. File count
+    becomes O(partitions) — controlled by the caller's repartition — not
+    O(images), which is the property that keeps the sink viable at
+    planetary scale."""
     import hashlib
+    import io
     import math
     import os
+    import tarfile
 
     import pandas as pd
+
+    if archive not in (None, "tar"):
+        raise ValueError(f"archive must be None|'tar', got {archive!r}")
 
     from tiff_enrichment_pipeline_spark.functions.geo import (
         EARTH_RADIUS_M,
@@ -330,6 +346,14 @@ def export_geotiff(
 
     def _write_batches(it):
         os.makedirs(out_dir, exist_ok=True)
+        tar = tar_path = None
+        if archive == "tar":
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            tar_path = os.path.join(out_dir, f"part-{pid:05d}.tar")
+            tar = tarfile.open(tar_path, "w")
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
@@ -361,9 +385,16 @@ def export_geotiff(
                 name = r.image_id
                 if not name.lower().endswith((".tif", ".tiff")):
                     name += ".tif"
-                path = os.path.join(out_dir, name)
-                with open(path, "wb") as f:
-                    f.write(payload)
+                if tar is not None:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic archive bytes
+                    tar.addfile(info, io.BytesIO(payload))
+                    path = f"{tar_path}#{name}"
+                else:
+                    path = os.path.join(out_dir, name)
+                    with open(path, "wb") as f:
+                        f.write(payload)
                 out.append(
                     (
                         r.image_id,
@@ -379,5 +410,7 @@ def export_geotiff(
                     "image_id", "path", "nbytes", "sha256", "georeferenced",
                 ],
             )
+        if tar is not None:
+            tar.close()
 
     return df.select(*cols).mapInPandas(_write_batches, GEOTIFF_MANIFEST_SCHEMA)
