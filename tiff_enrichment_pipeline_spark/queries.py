@@ -2830,3 +2830,34 @@ def q_terrain_sql() -> str:
 
 QUERIES.update({"terrain": q_terrain})
 ORACLES.update({"terrain": q_terrain_sql()})
+
+
+def q_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode / UNNEST as a first-class operator (the corpus
+    n-gram census every tokenizer-training pipeline runs): documents →
+    3-word shingles exploded → hash-agg count → global top-20. explode is
+    codegen (Generate), the count partial-aggregates map-side, and the
+    top-k is a TakeOrderedAndProject — no full sort. Ties broken by
+    shingle text so the result set is deterministic."""
+    from tiff_enrichment_pipeline_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "shingle")
+        .limit(20)
+    )
+
+
+def q_top_shingles_sql() -> str:
+    from tiff_enrichment_pipeline_spark.functions.text import word_shingles_sql
+
+    return f"""SELECT u.shingle AS shingle, COUNT(*) AS n
+    FROM documents d, UNNEST({word_shingles_sql("d.text")}) AS u(shingle)
+    GROUP BY 1 ORDER BY n DESC, shingle LIMIT 20"""
+
+
+QUERIES.update({"top_shingles": q_top_shingles})
+ORACLES.update({"top_shingles": q_top_shingles_sql()})
