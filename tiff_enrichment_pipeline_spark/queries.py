@@ -2861,3 +2861,33 @@ def q_top_shingles_sql() -> str:
 
 QUERIES.update({"top_shingles": q_top_shingles})
 ORACLES.update({"top_shingles": q_top_shingles_sql()})
+
+
+def q_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-window surface in one pass: NTILE quartiles,
+    PERCENT_RANK and CUME_DIST per order within its status partition.
+    The ORDER BY key is made unique (totalprice, orderkey) — NTILE splits
+    ties by physical order, which no two engines share, so a unique key is
+    the only deterministic form. One shuffle on the status key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+def q_rank_trio_sql() -> str:
+    return """SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM orders WHERE o_orderkey % 7 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"""
+
+
+QUERIES.update({"rank_trio": q_rank_trio})
+ORACLES.update({"rank_trio": q_rank_trio_sql()})
