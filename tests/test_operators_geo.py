@@ -325,6 +325,10 @@ def test_interval_lookup_join_strategies(spark):
         interval_lookup_join(pb, iv, "v", how="full")
     with pytest.raises(ValueError):
         interval_lookup_join(pb, iv, "v", strategy="bucketed", bucket_width=-1)
+    with pytest.raises(ValueError, match="non-empty intervals"):
+        interval_lookup_join(
+            pb, iv.filter("band_id < 0"), "v", strategy="bucketed"
+        )
 
 
 def test_terrain_matches_analytic_gradient(spark):

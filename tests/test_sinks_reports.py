@@ -475,3 +475,26 @@ def test_export_geotiff_tar_archive(spark, tmp):
 
     with pytest.raises(ValueError):
         export_geotiff(df, out, archive="zip")
+
+
+def test_export_geotiff_partial_gps_is_not_georeferenced(spark, tmp):
+    """A row with lat but no lon (or NaN lon) must export as a plain TIFF,
+    not crash or bake NaN geo tags."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    base = images_df(spark, 1).limit(1)
+    rows = []
+    for lat, lon in [(52.0, None), (52.0, float("nan")), (None, 5.0)]:
+        rows.append(
+            base.withColumn("lat", F.lit(lat).cast("double"))
+            .withColumn("lon", F.lit(lon).cast("double"))
+        )
+    df = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    out = str(tmp / "partial")
+    manifest = export_geotiff(df, out).collect()
+    assert len(manifest) == 3
+    for m in manifest:
+        assert m["georeferenced"] is False
+        _, meta = codec.decode_geotiff(Path(m["path"]).read_bytes())
+        assert "pixel_scale" not in meta

@@ -82,6 +82,46 @@ def _bilinear_vec(
     )
 
 
+def _broadcast_grids(dem_tiles: DataFrame):
+    """Collect the (bounded) DEM tile grids once and ship them to workers
+    as a Spark broadcast variable — shared by every broadcast-strategy
+    sampling UDF so grids never travel per-row through a join → Arrow."""
+    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
+    grids = {
+        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
+        .reshape(DEM_N, DEM_N)
+        .astype(np.float64)
+        for r in tile_rows
+    }
+    return dem_tiles.sparkSession.sparkContext.broadcast(grids)
+
+
+def _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
+    """Yield ``((tile_x, tile_y), row_indices)`` for the valid-GPS rows of
+    one Arrow batch, grouped by tile key — the shared per-batch grouping
+    behind every broadcast-grid UDF (elevation, terrain), so the key
+    encoding/sentinel/argsort logic exists exactly once."""
+    valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
+    if not valid.any():
+        return
+    tx_v = np.where(
+        valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0
+    ).astype(np.int64)
+    ty_v = np.where(
+        valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0
+    ).astype(np.int64)
+    key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    bounds = np.r_[starts, len(sk)]
+    for gi in range(len(starts)):
+        if sk[starts[gi]] == -(2**62):
+            continue
+        rows = order[bounds[gi] : bounds[gi + 1]]
+        yield (int(tx_v[rows[0]]), int(ty_v[rows[0]])), rows
+
+
 def elevation_join(
     images: DataFrame,
     dem_tiles: DataFrame,
@@ -108,14 +148,7 @@ def elevation_join(
         return _elevation_partitioned(
             images, dem_tiles, lon=lon, lat=lat, salt=salt
         )
-    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
-    grids = {
-        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
-        .reshape(DEM_N, DEM_N)
-        .astype(np.float64)
-        for r in tile_rows
-    }
-    bc = images.sparkSession.sparkContext.broadcast(grids)
+    bc = _broadcast_grids(dem_tiles)
 
     @F.pandas_udf(DoubleType())
     def _sample(
@@ -126,26 +159,13 @@ def elevation_join(
             lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
             lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
             out = np.full(len(lon_v), np.nan)
-            valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
-            if valid.any():
-                tx_v = np.where(valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
-                ty_v = np.where(valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
-                key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
-                order = np.argsort(key, kind="stable")
-                sk = key[order]
-                starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-                bounds = np.r_[starts, len(sk)]
-                for gi in range(len(starts)):
-                    if sk[starts[gi]] == -(2**62):
-                        continue
-                    rows = order[bounds[gi]:bounds[gi + 1]]
-                    tile = (int(tx_v[rows[0]]), int(ty_v[rows[0]]))
-                    g = g_by_tile.get(tile)
-                    if g is None:
-                        continue
-                    out[rows] = _bilinear_vec(
-                        g, lon_v[rows], lat_v[rows], tile[0], tile[1]
-                    )
+            for tile, rows in _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
+                g = g_by_tile.get(tile)
+                if g is None:
+                    continue
+                out[rows] = _bilinear_vec(
+                    g, lon_v[rows], lat_v[rows], tile[0], tile[1]
+                )
             yield pd.Series(out)
 
     tx, ty = tile_key(F.col(lon), F.col(lat))
@@ -336,14 +356,7 @@ def terrain_join(
     cogrouped pattern of _elevation_partitioned with _terrain_vec."""
     from pyspark.sql.types import StructField, StructType
 
-    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
-    grids = {
-        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
-        .reshape(DEM_N, DEM_N)
-        .astype(np.float64)
-        for r in tile_rows
-    }
-    bc = images.sparkSession.sparkContext.broadcast(grids)
+    bc = _broadcast_grids(dem_tiles)
     t_struct = StructType(
         [
             StructField("slope_deg", DoubleType()),
@@ -365,29 +378,16 @@ def terrain_join(
             "aspect_deg": np.full(n, np.nan),
             "hillshade": np.full(n, np.nan),
         }
-        valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
-        if valid.any():
-            tx_v = np.where(valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
-            ty_v = np.where(valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0).astype(np.int64)
-            key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
-            order = np.argsort(key, kind="stable")
-            sk = key[order]
-            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-            bounds = np.r_[starts, len(sk)]
-            for gi in range(len(starts)):
-                if sk[starts[gi]] == -(2**62):
-                    continue
-                rows = order[bounds[gi] : bounds[gi + 1]]
-                tile = (int(tx_v[rows[0]]), int(ty_v[rows[0]]))
-                g = g_by_tile.get(tile)
-                if g is None:
-                    continue
-                s, a, h = _terrain_vec(
-                    g, lon_v[rows], lat_v[rows], tile[0], tile[1]
-                )
-                out["slope_deg"][rows] = s
-                out["aspect_deg"][rows] = a
-                out["hillshade"][rows] = h
+        for tile, rows in _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
+            g = g_by_tile.get(tile)
+            if g is None:
+                continue
+            s, a, h = _terrain_vec(
+                g, lon_v[rows], lat_v[rows], tile[0], tile[1]
+            )
+            out["slope_deg"][rows] = s
+            out["aspect_deg"][rows] = a
+            out["hillshade"][rows] = h
         return pd.DataFrame(out)
 
     tx, ty = tile_key(F.col(lon), F.col(lat))

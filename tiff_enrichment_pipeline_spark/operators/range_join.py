@@ -62,11 +62,15 @@ def interval_lookup_join(
     if bucket_width is None:
         # bounded driver action: one scalar (median width) off the
         # intervals table — same data motion as planning a broadcast
-        bucket_width = float(
-            intervals.select(
-                F.expr(f"percentile_approx({hi_col} - {lo_col}, 0.5)")
-            ).first()[0]
-        )
+        med = intervals.select(
+            F.expr(f"percentile_approx({hi_col} - {lo_col}, 0.5)")
+        ).first()[0]
+        if med is None:  # empty intervals table
+            raise ValueError(
+                "bucketed interval_lookup_join needs a non-empty intervals "
+                "table to derive bucket_width (or pass bucket_width)"
+            )
+        bucket_width = float(med)
     if not bucket_width or bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     w = float(bucket_width)

@@ -2841,7 +2841,7 @@ def q_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle text so the result set is deterministic."""
     from tiff_enrichment_pipeline_spark.functions.text import word_shingles
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")  # single-row-group source → repartition
     return (
         d.select(F.explode(word_shingles(F.col("text"))).alias("shingle"))
         .groupBy("shingle")

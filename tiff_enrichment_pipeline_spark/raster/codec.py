@@ -329,7 +329,12 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     except KeyError as exc:
         if 322 in tags or 324 in tags:  # TileWidth/TileOffsets
             raise NotImplementedError("tiled TIFF not supported by the stdlib path") from exc
-        raise ValueError("TIFF missing required baseline tags") from exc
+        # NotImplementedError, not ValueError: some writers omit e.g.
+        # StripByteCounts and fuller decoders (Pillow) tolerate it — the
+        # decode() dispatch must keep its fallback path for these
+        raise NotImplementedError(
+            "TIFF missing baseline tags the stdlib path requires"
+        ) from exc
     bits = tags.get(258, [1])[0]
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]

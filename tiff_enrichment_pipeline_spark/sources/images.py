@@ -346,21 +346,37 @@ def export_geotiff(
 
     def _write_batches(it):
         os.makedirs(out_dir, exist_ok=True)
-        tar = tar_path = None
+        tar = tar_path = tmp_tar = None
         if archive == "tar":
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
+            attempt = ctx.taskAttemptId() if ctx is not None else 0
             tar_path = os.path.join(out_dir, f"part-{pid:05d}.tar")
-            tar = tarfile.open(tar_path, "w")
+            # attempt-unique scratch + atomic rename at close: concurrent
+            # speculative/zombie attempts of the same partition never
+            # interleave writes into one file; whichever attempt finishes
+            # renames a complete archive into place (one rename wins, and
+            # every attempt's archive holds identical deterministic bytes).
+            # Leftover .inprogress files from killed attempts are inert.
+            tmp_tar = f"{tar_path}.attempt-{attempt}.inprogress"
+            tar = tarfile.open(tmp_tar, "w")
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
                 px = codec.decode(bytes(r.bytes), w, h, r.fmt)
                 geo = None
-                has_gps = r.lat is not None and not pd.isna(r.lat)
+                # BOTH coordinates must be present and finite — a lat
+                # without a lon would otherwise crash on float(None) or
+                # bake NaN georeferencing doubles into the tags
+                has_gps = not (
+                    r.lat is None
+                    or r.lon is None
+                    or pd.isna(r.lat)
+                    or pd.isna(r.lon)
+                )
                 if has_gps:
                     lat, lon = float(r.lat), float(r.lon)
                     alt = float(r.alt) if not pd.isna(r.alt) else 0.0
@@ -412,5 +428,6 @@ def export_geotiff(
             )
         if tar is not None:
             tar.close()
+            os.replace(tmp_tar, tar_path)  # atomic POSIX rename
 
     return df.select(*cols).mapInPandas(_write_batches, GEOTIFF_MANIFEST_SCHEMA)
