@@ -397,3 +397,39 @@ def test_streaming_session_window(spark, tmp_path):
     }
     # user 1: one 2-event session + one 1-event session; user 2: one session
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_streaming_upsert_sink_replay_idempotent(spark, tmpdirs):
+    """sink='upsert': a REPLAYED micro-batch (lost checkpoint — the case
+    append cannot survive) converges to the same table instead of
+    duplicating; updated values win by key."""
+    in_dir, out_dir = str(tmpdirs / "in"), str(tmpdirs / "out")
+    schema = "image_id long, lon double, lat double"
+
+    def enrich_batch(df, batch_id):
+        return df.withColumn("enriched", F.lit(True))
+
+    _mini_images(spark, range(8)).write.mode("append").parquet(in_dir)
+    q = watch_images(
+        spark, in_dir, out_dir, str(tmpdirs / "ck1"), enrich_batch, schema,
+        sink="upsert",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 8
+
+    # fresh checkpoint → the SAME input replays from scratch; upsert
+    # leaves exactly one row per key where append would give 16
+    q2 = watch_images(
+        spark, in_dir, out_dir, str(tmpdirs / "ck2"), enrich_batch, schema,
+        sink="upsert",
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 8
+    assert out.select("image_id").distinct().count() == 8
+
+    with pytest.raises(ValueError):
+        watch_images(
+            spark, in_dir, out_dir, str(tmpdirs / "ck3"), enrich_batch,
+            schema, sink="replace",
+        )

@@ -70,6 +70,14 @@ def _hadoop_delete(spark: SparkSession, path: str) -> None:
     p.getFileSystem(conf).delete(p, True)
 
 
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence via the Hadoop FileSystem API (any scheme)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(conf).exists(p))
+
+
 def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Directory rename via the Hadoop FileSystem API (metadata op on
     local/HDFS) — scheme-agnostic, unlike shutil.move which treats a

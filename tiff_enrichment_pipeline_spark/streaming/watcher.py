@@ -33,6 +33,8 @@ def watch_images(
     enrich_batch: Callable[[DataFrame, int], DataFrame],
     schema: str,
     trigger_interval: str | None = None,
+    sink: str = "append",
+    upsert_key: str = "image_id",
 ) -> StreamingQuery:
     """Start the watcher: stream new image files → enrich → append output.
 
@@ -40,7 +42,17 @@ def watch_images(
     point uses — passed in so plans/enrich.py stays streaming-agnostic.
     ``trigger_interval=None`` → Trigger.AvailableNow (drain then stop);
     else e.g. '30 seconds' (the reference's poll cadence, watcher.py:11,18).
-    """
+
+    ``sink``: ``'append'`` (default — at-least-once, dedup relies on the
+    checkpoint never replaying a batch) or ``'upsert'`` — each micro-batch
+    MERGEs by ``upsert_key`` (sources/images.upsert_by_key), making the
+    sink idempotent under batch REPLAY: a lost checkpoint, a re-run over
+    the same input, or foreachBatch's own at-least-once contract all
+    converge to the same table instead of duplicating rows — the
+    reference's ``overwrite_existing: False`` resume semantics carried to
+    streaming (core/config.py:41)."""
+    if sink not in ("append", "upsert"):
+        raise ValueError(f"sink must be append|upsert, got {sink!r}")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
@@ -49,7 +61,18 @@ def watch_images(
 
     def _process(df: DataFrame, batch_id: int) -> None:
         out = enrich_batch(df, batch_id)
-        out.write.mode("append").parquet(output_dir)
+        if sink == "upsert":
+            from tiff_enrichment_pipeline_spark.sources.images import (
+                hadoop_exists,
+                upsert_by_key,
+            )
+
+            if hadoop_exists(spark, output_dir):
+                upsert_by_key(spark, output_dir, out, key=upsert_key)
+            else:  # first batch creates the table
+                out.write.mode("overwrite").parquet(output_dir)
+        else:
+            out.write.mode("append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
