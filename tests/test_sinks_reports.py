@@ -498,3 +498,42 @@ def test_export_geotiff_partial_gps_is_not_georeferenced(spark, tmp):
         assert m["georeferenced"] is False
         _, meta = codec.decode_geotiff(Path(m["path"]).read_bytes())
         assert "pixel_scale" not in meta
+
+
+def test_compact_images_preserves_layout_and_values(spark, tmp):
+    """Operational compaction (the rewrite_data_files/OPTIMIZE analog):
+    repeated appends accumulate small files; compact_images rewrites to
+    one file per partition directory with identical values, layout dirs,
+    and recorded bucket modulus."""
+    from tiff_enrichment_pipeline_spark.sources.images import (
+        _count_data_files,
+        _read_layout_meta,
+        compact_images,
+        read_images,
+        write_images,
+    )
+
+    loc = str(tmp / "imgtab")
+    a = images_df(spark, 4)
+    write_images(a.repartition(4), loc, mode="overwrite", buckets=4)
+    for i in range(3):  # three appends → small-file pileup
+        write_images(images_df(spark, 8).filter(
+            F.col("capture_id") == f"IMG_000{4 + i}"
+        ).repartition(2), loc, mode="append", buckets=4)
+    before_rows = {r["image_id"]: r["phash"] for r in read_images(spark, loc).collect()}
+    files_before = _count_data_files(spark, loc)
+
+    stats = compact_images(spark, loc)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < stats["files_before"]
+
+    after = read_images(spark, loc)
+    got = {r["image_id"]: r["phash"] for r in after.collect()}
+    assert got == before_rows  # values byte-identical by key
+    assert _read_layout_meta(spark, loc) == 4  # modulus survives
+    # directory layout intact: p_bucket dirs still present
+    assert any(p.name.startswith("p_bucket=") for p in Path(loc).iterdir())
+    # one file per leaf directory
+    leaves = {f.parent for f in Path(loc).rglob("*.parquet")}
+    for leaf in leaves:
+        assert len(list(leaf.glob("*.parquet"))) == 1

@@ -125,6 +125,7 @@ def write_images(
     partition: bool = True,
     cluster: str | None = None,
     cluster_partitions: int | None = None,
+    coalesce_per_dir: bool = False,
 ) -> None:
     """Write the image table with the layout the reads depend on at 100 TB:
     ``bucket(N, image_id)`` for uniform write distribution + a coarse cell
@@ -203,6 +204,14 @@ def write_images(
             "p_cell", grid.cell_of(F.col("lon"), F.col("lat"), _PART_CELL_RES)
         )
         part_cols.append("p_cell")
+    if coalesce_per_dir:
+        # compaction path: hash-shuffle rows onto their partition columns
+        # so each directory's rows land in exactly one task → one file per
+        # directory. Mutually exclusive with z-order clustering (the
+        # shuffle would destroy the sort).
+        if cluster is not None:
+            raise ValueError("coalesce_per_dir and cluster are exclusive")
+        out = out.repartition(*part_cols)
     out.write.mode(mode).partitionBy(*part_cols).parquet(location)
     # record the layout on create/overwrite, or on first append to a fresh
     # location; NEVER rewrite an existing record on append (the modulus is
@@ -248,41 +257,96 @@ def upsert_by_key(
         else:
             df.write.mode("overwrite").parquet(path)
 
+    _swap_rewrite(spark, target_location, merged, _write)
+
+
+def _swap_rewrite(
+    spark: SparkSession, target_location: str, df: DataFrame, write_fn
+) -> None:
+    """Rewrite a table that is the input of its own plan, safely.
+
+    Shared by upsert_by_key and compact_images. Plain OS / file: paths:
+    write to ``__merge_tmp`` then swap via two directory renames (cheap
+    metadata ops through the Hadoop FS API — a Spark overwrite of the
+    target would delete it before the rewrite, and a crash there loses the
+    table). The window between the two renames is the only non-atomic
+    instant; a crash there leaves the NEW table at ``__merge_tmp`` and the
+    old one at ``__merge_old`` — recoverable, never lost (tmp is
+    deliberately NOT cleaned up on failure for that reason). Object-store
+    schemes (hdfs/s3a/…, where rename is not a metadata op): rewrite
+    through a tmp read — 2× write I/O, tmp kept until the final write
+    succeeds."""
     scheme = _scheme_of(target_location)
     if scheme is not None and scheme != "file":
-        # object stores / remote fs (hdfs/s3a/…) where a directory rename
-        # is not a cheap metadata op: rewrite through a tmp read (2× write
-        # I/O is the price of not overwriting the input of its own read).
-        # Non-atomic: a crash during the final overwrite needs a re-run
-        # from tmp (kept until the final write succeeds, then deleted via
-        # the Hadoop FS API).
         tmp = target_location.rstrip("/") + "__merge_tmp"
-        _write(merged, tmp)
-        _write(spark.read.parquet(tmp), target_location)
+        write_fn(df, tmp)
+        write_fn(spark.read.parquet(tmp), target_location)
         _hadoop_delete(spark, tmp)
         return
 
-    # plain OS path or file:-qualified URI (file:///x, file:/x): swap via
-    # two directory renames (cheap metadata ops) through the Hadoop FS API
-    # — shutil cannot operate on URI strings, and a Spark overwrite of the
-    # target deletes it before the rewrite (a crash there loses the table).
-    # The window between the two renames is the only non-atomic instant; a
-    # crash there leaves the NEW table at __merge_tmp and the old one at
-    # __merge_old — recoverable, never lost (tmp is deliberately NOT
-    # cleaned up on failure for that reason).
     tmp = target_location.rstrip("/") + "__merge_tmp"
     old = target_location.rstrip("/") + "__merge_old"
     _hadoop_delete(spark, tmp)
-    _write(merged, tmp)
+    write_fn(df, tmp)
     _hadoop_delete(spark, old)
     if not _hadoop_rename(spark, target_location, old):
-        raise IOError(f"upsert swap: rename {target_location} -> {old} failed")
+        raise IOError(f"table swap: rename {target_location} -> {old} failed")
     if not _hadoop_rename(spark, tmp, target_location):
         raise IOError(
-            f"upsert swap: rename {tmp} -> {target_location} failed; "
+            f"table swap: rename {tmp} -> {target_location} failed; "
             f"previous table preserved at {old}"
         )
     _hadoop_delete(spark, old)
+
+
+def _count_data_files(spark: SparkSession, location: str) -> int:
+    """Recursive parquet data-file count via the Hadoop FS API."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(location)
+    fs = p.getFileSystem(conf)
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_images(spark: SparkSession, location: str) -> dict:
+    """Operational small-file compaction, layout-preserving.
+
+    Every append to a partitioned table adds one file per (source
+    partition × touched directory); after N appends a bucket directory
+    holds N+ tiny files and scan task count explodes — the classic 100 TB
+    small-file degradation (Iceberg calls the remedy ``rewrite_data_files``,
+    Delta ``OPTIMIZE``). This rewrites the table through the same
+    atomic-swap machinery as upsert_by_key with the rows re-hashed onto
+    their partition columns first, so each directory lands in ONE task →
+    one file per directory. Values, logical schema, bucket modulus, and
+    directory layout are unchanged. Returns
+    ``{"files_before": n, "files_after": m}``."""
+    raw = spark.read.parquet(location)
+    was_partitioned = any(c in _LAYOUT_COLS for c in raw.columns)
+    buckets = _read_layout_meta(spark, location) or 16
+    data = raw.drop(*[c for c in _LAYOUT_COLS if c in raw.columns])
+    before = _count_data_files(spark, location)
+
+    def _write(df: DataFrame, path: str) -> None:
+        if was_partitioned:
+            write_images(
+                df, path, mode="overwrite", buckets=buckets,
+                coalesce_per_dir=True,
+            )
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    _swap_rewrite(spark, location, data, _write)
+    return {
+        "files_before": before,
+        "files_after": _count_data_files(spark, location),
+    }
 
 
 # ---------------------------------------------------------------------------
