@@ -150,3 +150,27 @@ def test_enrich_partitioned_dem_matches_broadcast_plan(spark):
     a = vals(enrich(img, broadcast_dem=True, **kw))
     b = vals(enrich(img, broadcast_dem=False, **kw))
     assert a == b
+
+
+def test_module_cli_compact(spark, tmp_path, capsys):
+    """--compact: maintenance mode compacts a fragmented table in place
+    and prints the file-count stats, without touching enrichment inputs."""
+    import json
+
+    from tiff_enrichment_pipeline_spark.__main__ import main
+    from tiff_enrichment_pipeline_spark.fixtures import images_df
+    from tiff_enrichment_pipeline_spark.sources.images import write_images
+
+    loc = str(tmp_path / "tab")
+    write_images(
+        images_df(spark, 3).repartition(3), loc, mode="overwrite", buckets=2
+    )
+    write_images(
+        images_df(spark, 5).filter("capture_id = 'IMG_0004'").repartition(2),
+        loc, mode="append", buckets=2,
+    )
+    rc = main(["--compact", loc])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "compact"
+    assert out["files_after"] < out["files_before"]

@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
         "--watch", action="store_true",
         help="streaming watcher mode (readStream over sf_dir-shaped input)",
     )
+    ap.add_argument(
+        "--compact", metavar="TABLE", default=None,
+        help="compact an image table in place (layout-preserving "
+        "small-file rewrite) and exit",
+    )
     args = ap.parse_args(argv)
 
     from tiff_enrichment_pipeline_spark.config import EnrichConfig
@@ -57,6 +62,25 @@ def main(argv: list[str] | None = None) -> int:
     # threshold); master='inherit' keeps a spark-submit cluster master
     spark = get_spark("tiff-enrichment-cli", master="inherit")
     t0 = time.time()
+
+    if args.compact:
+        # maintenance mode: no enrichment inputs needed, skip preflight
+        from tiff_enrichment_pipeline_spark.sources.images import (
+            compact_images,
+        )
+
+        stats = compact_images(spark, args.compact)
+        print(
+            json.dumps(
+                {
+                    "mode": "compact",
+                    "table": args.compact,
+                    **stats,
+                    "wall_s": round(time.time() - t0, 2),
+                }
+            )
+        )
+        return 0
 
     from tiff_enrichment_pipeline_spark.health import preflight
 
