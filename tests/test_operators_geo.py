@@ -385,3 +385,25 @@ def test_terrain_matches_analytic_gradient(spark):
     for r in terrain_join(misses, dem_tiles_df(spark)).collect():
         assert r["slope_deg"] is None and r["aspect_deg"] is None
         assert r["hillshade"] is None
+
+
+def test_terrain_partitioned_matches_broadcast(spark):
+    """terrain_join(broadcast_dem=False) — the planetary-DEM cogroup
+    strategy — must be value-identical to the broadcast strategy on
+    on-DEM, off-DEM, and no-GPS rows (shared _terrain_vec)."""
+    from tiff_enrichment_pipeline_spark.operators.elevation import terrain_join
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001")
+    a = {
+        r["image_id"]: (r["slope_deg"], r["aspect_deg"], r["hillshade"])
+        for r in terrain_join(img, dem_tiles_df(spark)).collect()
+    }
+    b = {
+        r["image_id"]: (r["slope_deg"], r["aspect_deg"], r["hillshade"])
+        for r in terrain_join(
+            img, dem_tiles_df(spark), broadcast_dem=False
+        ).collect()
+    }
+    assert a == b
+    assert any(v[0] is not None for v in a.values())
+    assert any(v[0] is None for v in a.values())

@@ -185,15 +185,19 @@ def elevation_join(
     )
 
 
-def _elevation_partitioned(
+def _partitioned_tile_apply(
     images: DataFrame,
     dem_tiles: DataFrame,
+    out_fields,
+    kernel,
+    empty_fill,
     lon: str = "lon",
     lat: str = "lat",
     salt: int = 8,
 ) -> DataFrame:
-    """Planetary-DEM strategy: co-partition probe and DEM on the tile key,
-    per-tile-group cogrouped ``applyInPandas`` bilinear.
+    """Planetary-DEM strategy scaffold: co-partition probe and DEM on the
+    tile key, per-tile-group cogrouped ``applyInPandas`` with a pluggable
+    per-tile ``kernel`` — shared by the elevation and terrain operators.
 
     The DEM never collects to the driver and never broadcasts — a global
     30 m DEM is TBs (reference sources usgs_3dep/nasa_srtm,
@@ -206,15 +210,13 @@ def _elevation_partitioned(
     into a ~0.02° cluster = ONE 0.1° tile): probes spread uniformly over
     ``salt`` sub-groups via a hash of the coordinates; the DEM side
     replicates each grid row ×salt (4 KiB × salt — negligible) so every
-    sub-group still pairs with its tile. Output values are bit-identical
-    to the broadcast strategy (shared ``_bilinear_vec``).
+    sub-group still pairs with its tile.
+
+    ``kernel(grid, lon_v, lat_v, tx, ty, tile_row) -> dict[col, values]``;
+    ``empty_fill(n) -> dict[col, values]`` for GPS-less sub-groups;
+    ``out_fields``: the appended StructFields, in kernel-dict order.
     """
-    from pyspark.sql.types import (
-        DoubleType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import StructType
 
     tx, ty = tile_key(F.col(lon), F.col(lat))
     keyed = images.withColumn("tile_x", tx).withColumn("tile_y", ty)
@@ -238,22 +240,15 @@ def _elevation_partitioned(
     dem_s = replicate_build(dem_tiles, salt)
 
     out_schema = StructType(
-        [f for f in probe.schema.fields if f.name != "_salt"]
-        + [
-            StructField("elevation", DoubleType()),
-            StructField("elevation_source", StringType()),
-            StructField("elevation_accuracy_m", DoubleType()),
-        ]
+        [f for f in probe.schema.fields if f.name != "_salt"] + list(out_fields)
     )
     probe_cols = [f.name for f in probe.schema.fields if f.name != "_salt"]
 
-    def _sample_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def _apply_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out = left[probe_cols].copy()
-        n = len(out)
         if right.empty:
-            out["elevation"] = np.full(n, np.nan)
-            out["elevation_source"] = pd.Series([None] * n, dtype="object")
-            out["elevation_accuracy_m"] = np.full(n, np.nan)
+            for name, vals in empty_fill(len(out)).items():
+                out[name] = vals
             return out
         r = right.iloc[0]
         g = (
@@ -263,24 +258,63 @@ def _elevation_partitioned(
         )
         lon_v = left[lon].to_numpy(np.float64, na_value=np.nan)
         lat_v = left[lat].to_numpy(np.float64, na_value=np.nan)
-        out["elevation"] = _bilinear_vec(
-            g, lon_v, lat_v, int(r["tile_x"]), int(r["tile_y"])
-        )
-        out["elevation_source"] = r["source"]
-        out["elevation_accuracy_m"] = float(r["accuracy_m"])
+        for name, vals in kernel(
+            g, lon_v, lat_v, int(r["tile_x"]), int(r["tile_y"]), r
+        ).items():
+            out[name] = vals
         return out
 
     grouped = probe.groupBy("tile_x", "tile_y", "_salt").cogroup(
         dem_s.groupBy("tile_x", "tile_y", "_salt")
     )
-    sampled = grouped.applyInPandas(_sample_group, out_schema)
+    sampled = grouped.applyInPandas(_apply_group, out_schema)
     off = off_dem.select(
         *probe_cols,
-        F.lit(None).cast("double").alias("elevation"),
-        F.lit(None).cast("string").alias("elevation_source"),
-        F.lit(None).cast("double").alias("elevation_accuracy_m"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in out_fields],
     )
-    result = sampled.unionByName(off)
+    return sampled.unionByName(off)
+
+
+def _elevation_partitioned(
+    images: DataFrame,
+    dem_tiles: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: int = 8,
+) -> DataFrame:
+    """Planetary-DEM elevation via _partitioned_tile_apply. Output values
+    are bit-identical to the broadcast strategy (shared ``_bilinear_vec``,
+    pinned by the ``elevation_partitioned`` oracle row)."""
+    from pyspark.sql.types import DoubleType, StringType, StructField
+
+    def kernel(g, lon_v, lat_v, tx, ty, r):
+        return {
+            "elevation": _bilinear_vec(g, lon_v, lat_v, tx, ty),
+            "elevation_source": r["source"],
+            "elevation_accuracy_m": float(r["accuracy_m"]),
+        }
+
+    def empty_fill(n):
+        return {
+            "elevation": np.full(n, np.nan),
+            "elevation_source": pd.Series([None] * n, dtype="object"),
+            "elevation_accuracy_m": np.full(n, np.nan),
+        }
+
+    result = _partitioned_tile_apply(
+        images,
+        dem_tiles,
+        [
+            StructField("elevation", DoubleType()),
+            StructField("elevation_source", StringType()),
+            StructField("elevation_accuracy_m", DoubleType()),
+        ],
+        kernel,
+        empty_fill,
+        lon=lon,
+        lat=lat,
+        salt=salt,
+    )
     # NaN → NULL off-DEM (and for GPS-less rows), matching the broadcast
     # strategy's F.when(...) NULL semantics
     return result.withColumn(
@@ -348,13 +382,49 @@ def terrain_join(
     dem_tiles: DataFrame,
     lon: str = "lon",
     lat: str = "lat",
+    broadcast_dem: bool = True,
+    salt: int = 8,
 ) -> DataFrame:
     """images ⟕ DEM → + slope_deg / aspect_deg / hillshade (NULL off-DEM
-    or without GPS). Broadcast-grid strategy, same data motion as
-    elevation_join: grids cross to Python once via a broadcast variable,
-    the UDF ships only (lon, lat, tile key); for a planetary DEM use the
-    cogrouped pattern of _elevation_partitioned with _terrain_vec."""
-    from pyspark.sql.types import StructField, StructType
+    or without GPS). ``broadcast_dem=True``: grids cross to Python once
+    via a broadcast variable, the UDF ships only (lon, lat, tile key) —
+    same data motion as elevation_join. ``broadcast_dem=False``: the
+    planetary-DEM cogroup strategy (shared _partitioned_tile_apply
+    scaffold), value-identical by the shared ``_terrain_vec``."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not broadcast_dem:
+        def kernel(g, lon_v, lat_v, tx, ty, r):
+            s, a, h = _terrain_vec(g, lon_v, lat_v, tx, ty)
+            return {"slope_deg": s, "aspect_deg": a, "hillshade": h}
+
+        def empty_fill(n):
+            return {
+                "slope_deg": np.full(n, np.nan),
+                "aspect_deg": np.full(n, np.nan),
+                "hillshade": np.full(n, np.nan),
+            }
+
+        result = _partitioned_tile_apply(
+            images,
+            dem_tiles,
+            [
+                StructField("slope_deg", DoubleType()),
+                StructField("aspect_deg", DoubleType()),
+                StructField("hillshade", DoubleType()),
+            ],
+            kernel,
+            empty_fill,
+            lon=lon,
+            lat=lat,
+            salt=salt,
+        )
+        for c in ("slope_deg", "aspect_deg", "hillshade"):
+            # NaN → NULL (flat aspect, GPS-less rows) like the broadcast path
+            result = result.withColumn(
+                c, F.when(~F.isnan(F.col(c)), F.col(c))
+            )
+        return result
 
     bc = _broadcast_grids(dem_tiles)
     t_struct = StructType(
