@@ -91,3 +91,55 @@ def test_knn_chord_monotonic_in_greatcircle(lat, lon, dlat, dlon):
     gn = gc(lat, lon, max(-89.9, min(89.9, lat + dlat / 2)), lon + dlon / 2)
     gf = gc(lat, lon, max(-89.9, min(89.9, lat + dlat)), lon + dlon)
     assert (d2n <= d2f) == (gn <= gf) or abs(gn - gf) < 1e-12
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=_dims, h=_dims, seed=st.integers(0, 2**31 - 1),
+    comp=st.sampled_from(["none", "deflate"]),
+    rps=st.integers(1, 64),
+    pred=st.sampled_from([1, 2]),
+    with_geo=st.booleans(),
+)
+def test_tiff_roundtrip_property(w, h, seed, comp, rps, pred, with_geo):
+    """Baseline TIFF codec: encode∘decode = identity for ANY shape, strip
+    size, compression, predictor, geo-tag combination; geo metadata
+    round-trips exactly."""
+    rng = np.random.default_rng(seed)
+    band = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    geo = (
+        {"pixel_scale": (1e-6, 2e-6), "origin": (5.5, 52.5), "epsg": 4326}
+        if with_geo
+        else None
+    )
+    payload = codec.encode_tiff_u16(
+        band, compression=comp, rows_per_strip=rps, predictor=pred, geo=geo
+    )
+    arr, meta = codec.decode_geotiff(payload)
+    assert np.array_equal(arr, band)
+    if with_geo:
+        assert meta["origin"] == (5.5, 52.5) and meta["epsg"] == 4326
+    else:
+        assert meta == {}
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=_dims, h=_dims, seed=st.integers(0, 2**31 - 1))
+def test_terrain_gradient_consistency_property(w, h, seed):
+    """_terrain_vec invariants on random grids: slope ≥ 0 and < 90,
+    aspect ∈ [0, 360) or NaN exactly when the local gradient vanishes,
+    hillshade ∈ [0, 255]."""
+    from tiff_enrichment_pipeline_spark.geotables import DEM_N, DEM_TILE_DEG
+    from tiff_enrichment_pipeline_spark.operators.elevation import _terrain_vec
+
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(0.0, 500.0, (DEM_N, DEM_N))
+    tx, ty = 51, 521
+    n = 25
+    lon_v = (tx + rng.uniform(0.02, 0.98, n)) * DEM_TILE_DEG
+    lat_v = (ty + rng.uniform(0.02, 0.98, n)) * DEM_TILE_DEG
+    s, a, hs = _terrain_vec(g, lon_v, lat_v, tx, ty)
+    assert ((s >= 0.0) & (s < 90.0)).all()
+    ok = ~np.isnan(a)
+    assert ((a[ok] >= 0.0) & (a[ok] < 360.0)).all()
+    assert ((hs >= 0.0) & (hs <= 255.0)).all()
