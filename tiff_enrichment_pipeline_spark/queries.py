@@ -2891,3 +2891,58 @@ def q_rank_trio_sql() -> str:
 
 QUERIES.update({"rank_trio": q_rank_trio})
 ORACLES.update({"rank_trio": q_rank_trio_sql()})
+
+
+def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine routing (S4 completed for 100 TB
+    reality: truncated uploads and bit rot are a certainty at scale, and a
+    decode raising inside a transform fails the whole job). Payloads are
+    deterministically corrupted (truncated to 13 bytes) for capture_no ≡ 3
+    (mod 7); `decode_status` catches EVERY decode error — raw reshape,
+    zlib, PNG/TIFF structure — as a routable status column. The oracle
+    predicts the outcome from the corruption rule alone, which is exactly
+    the guarantee the operator must provide: intact rows decode, corrupted
+    rows quarantine, nothing raises."""
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.udfs import decode_status
+
+    bands = band_rows_from_orders(spark, sf_dir)
+    corrupted = bands.withColumn(
+        "bytes",
+        F.when(
+            F.col("capture_no") % 7 == 3,
+            F.expr("substring(bytes, 1, 13)"),
+        ).otherwise(F.col("bytes")),
+    )
+    return corrupted.select(
+        "image_id",
+        "fmt",
+        decode_status(
+            F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")
+        ).alias("status"),
+    )
+
+
+def q_decode_quarantine_sql() -> str:
+    # capture_no = image_id / 97 (band_rows_from_orders modulo); band =
+    # suffix digit of image_id. Reproduce fixture naming to predict status
+    # purely from the corruption rule.
+    return f"""{_IMAGES_CTE},
+    bands AS (
+      SELECT 'IMG_' || lpad(CAST(image_id // 97 AS VARCHAR), 4, '0') || '_'
+               || CAST(b AS VARCHAR) || '.tif' AS image_id,
+             image_id // 97 AS capture_no, b AS band
+      FROM images, UNNEST([1, 2, 3, 4, 5]) AS t(b)
+      WHERE image_id % 97 = 0
+    )
+    SELECT image_id,
+           CASE WHEN (capture_no*5 + band) % 11 = 3 THEN 'lossy-q12'
+                WHEN (capture_no*5 + band) % 11 = 7 THEN 'png'
+                WHEN (capture_no*5 + band) % 11 = 5 THEN 'tiff'
+                ELSE 'raw-u16' END AS fmt,
+           CASE WHEN capture_no % 7 = 3 THEN 'corrupt' ELSE 'ok' END AS status
+    FROM bands"""
+
+
+QUERIES.update({"decode_quarantine": q_decode_quarantine})
+ORACLES.update({"decode_quarantine": q_decode_quarantine_sql()})

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 from tiff_enrichment_pipeline_spark.functions.geo import (
     EARTH_RADIUS_M,
@@ -165,3 +165,31 @@ def psnr_vs_q12(
             arr = codec.decode(b, int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
             vals[i] = codec.psnr_db((arr >> 4) << 4, arr)
         yield pd.Series(vals)
+
+
+@F.pandas_udf(StringType())
+def decode_status(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """'ok' | 'corrupt' | 'missing' per payload — the quarantine gate.
+
+    At 100 TB corrupt objects are a certainty (truncated uploads, bit
+    rot); a decode raising inside a transform UDF fails the whole task ×
+    maxFailures and then the job. This probe catches ANY decode error and
+    turns it into a routable status column so bad rows quarantine to a
+    side table while the pipeline proceeds (the reference's integrity
+    check + error-JSONB pattern, utils/rasterio_utils.py:118-155,
+    create-tables.sql error columns)."""
+    for payload, w, h, fmt in it:
+        out = []
+        for i in range(len(payload)):
+            b = payload.iloc[i]
+            if b is None:
+                out.append("missing")
+                continue
+            try:
+                codec.decode(b, int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
+                out.append("ok")
+            except Exception:
+                out.append("corrupt")
+        yield pd.Series(out)
