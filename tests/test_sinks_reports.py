@@ -537,3 +537,35 @@ def test_compact_images_preserves_layout_and_values(spark, tmp):
     leaves = {f.parent for f in Path(loc).rglob("*.parquet")}
     for leaf in leaves:
         assert len(list(leaf.glob("*.parquet"))) == 1
+
+
+def test_split_thirds_leaves_no_row_unlabeled(spark):
+    """1/3+1/3+1/3 passes the sum==1 check but cumulative rounded ranges
+    top out at 9999 — the last split must be an unconditional ELSE so no
+    hash bucket is ever unlabeled."""
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        split_column,
+        split_column_sql,
+    )
+
+    thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    df = spark.range(20_000).select(
+        split_column(F.col("id"), thirds).alias("s")
+    )
+    assert df.filter(F.col("s").isNull()).count() == 0
+    assert "ELSE 'c'" in split_column_sql("id", thirds)
+
+
+def test_export_geotiff_null_or_zero_alt_not_georeferenced(spark, tmp):
+    """GPS present but alt NULL/0 → a zero ModelPixelScale would be an
+    invalid geotransform; such rows must export as plain TIFFs."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    base = images_df(spark, 1).limit(1)
+    for alt in (None, 0.0):
+        df = base.withColumn("alt", F.lit(alt).cast("double"))
+        m = export_geotiff(df, str(tmp / f"alt_{alt}")).collect()[0]
+        assert m["georeferenced"] is False
+        _, meta = codec.decode_geotiff(Path(m["path"]).read_bytes())
+        assert "pixel_scale" not in meta

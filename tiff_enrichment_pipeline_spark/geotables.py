@@ -358,9 +358,13 @@ def terrain_sql(lon: str, lat: str) -> dict[str, str]:
     gy = f"({gyg}/({DEM_STEP}*{_M_PER_DEG_LAT_SQL}))"
     slope_r = f"ATAN(SQRT({gx}*{gx} + {gy}*{gy}))"
     az_raw = f"DEGREES(ATAN2(-{gx}, -{gy}))"
+    # trailing % 360.0 closes the [0, 360) boundary: a tiny negative
+    # azimuth + 360.0 rounds to exactly 360.0 in doubles (engine twin
+    # applies the identical mod on the identical non-negative value)
     aspect = (
         f"(CASE WHEN {gxg} = 0.0 AND {gyg} = 0.0 THEN NULL "
-        f"ELSE {az_raw} + (CASE WHEN {az_raw} < 0.0 THEN 360.0 ELSE 0.0 END) END)"
+        f"ELSE ({az_raw} + (CASE WHEN {az_raw} < 0.0 THEN 360.0 ELSE 0.0 END))"
+        f" % 360.0 END)"
     )
     zen = f"RADIANS({90.0 - HILLSHADE_ALT_DEG})"
     azr = f"RADIANS({HILLSHADE_AZ_DEG})"

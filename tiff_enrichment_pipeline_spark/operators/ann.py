@@ -55,10 +55,12 @@ def brute_force_topk(
     against misuse — beyond it the corpus-proportional collect would OOM
     the driver, so we raise and point at the scale paths instead.
     """
-    n_corpus = corpus.count()
+    # limit(max+1).count() bounds the guard's own scan: it never reads
+    # past the threshold, instead of paying a full corpus count per call
+    n_corpus = corpus.limit(max_corpus + 1).count()
     if n_corpus > max_corpus:
         raise ValueError(
-            f"brute_force_topk: corpus has {n_corpus} rows > max_corpus="
+            f"brute_force_topk: corpus has > max_corpus="
             f"{max_corpus}; the full-corpus collect+broadcast is the "
             "exactness baseline for broadcastable corpora only — use "
             "ivf_probe_pruned (persisted partition-pruned IVF index) or "
@@ -432,7 +434,9 @@ def write_ivf_index(
 ) -> np.ndarray:
     """Persist the corpus as an IVF index: parquet PARTITIONED BY ivf_list
     (one directory per list -> probes prune to nprobe/n_lists of the data at
-    scan time) + the centroid matrix at ``<path>/_centroids``. Returns the
+    scan time, under ``<path>/index``) + the centroid matrix at
+    ``<path>/centroids`` — a SIBLING of the data directory, so index scans
+    never touch it. Returns the
     centroids. ``refine_iters > 0`` runs that many distributed
     spherical-Lloyd passes over the FULL corpus after the sample training
     (``kmeans_refine``) — the build-time knob for corpora whose density the

@@ -367,6 +367,10 @@ def _terrain_vec(
     ar = np.arctan2(-gx, -gy)
     aspect = np.degrees(ar)
     aspect = np.where(aspect < 0.0, aspect + 360.0, aspect)
+    # an infinitesimally-negative azimuth + 360.0 rounds to EXACTLY 360.0
+    # (float spacing at 360 ≈ 5.7e-14) — the final mod closes the [0, 360)
+    # boundary; inputs are ≥ 0 here so numpy/floored and SQL/fmod agree
+    aspect = np.mod(aspect, 360.0)
     aspect = np.where((gxg == 0.0) & (gyg == 0.0), np.nan, aspect)
     zen = np.radians(90.0 - _HS_ALT_DEG)
     azr = np.radians(_HS_AZ_DEG)

@@ -63,21 +63,31 @@ def split_column(key: Column, weights: dict[str, float]) -> Column:
         raise ValueError(f"split weights must sum to 1, got {total}")
     b = sample_bucket(key)
     expr = None
+    names = list(weights)
     hi = 0
-    for name, w in weights.items():
-        hi += int(round(w * _BUCKETS))
+    # the LAST split is an unconditional otherwise/ELSE: cumulative
+    # int(round(w*10000)) ranges can top out below 10000 for weights that
+    # legitimately pass the sum==1 check (e.g. three 1/3 shares → 9999),
+    # and a conditional last range would leave the top buckets NULL —
+    # silently dropped by a partitionBy(split) write
+    for name in names[:-1]:
+        hi += int(round(weights[name] * _BUCKETS))
         cond = b < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return expr
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
 
 
 def split_column_sql(key_expr: str, weights: dict[str, float]) -> str:
     b = sample_bucket_sql(key_expr)
+    names = list(weights)
     cases, hi = [], 0
-    for name, w in weights.items():
-        hi += int(round(w * _BUCKETS))
+    for name in names[:-1]:
+        hi += int(round(weights[name] * _BUCKETS))
         cases.append(f"WHEN {b} < {hi} THEN '{name}'")
-    return "CASE " + " ".join(cases) + " END"
+    if not cases:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
 
 
 def stratified_split(

@@ -171,7 +171,7 @@ def psnr_vs_q12(
 def decode_status(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
-    """'ok' | 'corrupt' | 'missing' per payload — the quarantine gate.
+    """'ok' | 'corrupt' | 'unsupported' | 'missing' — the quarantine gate.
 
     At 100 TB corrupt objects are a certainty (truncated uploads, bit
     rot); a decode raising inside a transform UDF fails the whole task ×
@@ -179,7 +179,14 @@ def decode_status(
     turns it into a routable status column so bad rows quarantine to a
     side table while the pipeline proceeds (the reference's integrity
     check + error-JSONB pattern, utils/rasterio_utils.py:118-155,
-    create-tables.sql error columns)."""
+    create-tables.sql error columns).
+
+    'unsupported' (NotImplementedError: a VALID payload whose codec/
+    variant is gated in this environment — e.g. tiled/LZW TIFF without
+    Pillow) is deliberately distinct from 'corrupt': the former is intact
+    data that decodes elsewhere, the latter is damaged data — conflating
+    them would make quarantine routing depend on the environment instead
+    of data integrity."""
     for payload, w, h, fmt in it:
         out = []
         for i in range(len(payload)):
@@ -190,6 +197,8 @@ def decode_status(
             try:
                 codec.decode(b, int(w.iloc[i]), int(h.iloc[i]), fmt.iloc[i])
                 out.append("ok")
+            except NotImplementedError:
+                out.append("unsupported")
             except Exception:
                 out.append("corrupt")
         yield pd.Series(out)

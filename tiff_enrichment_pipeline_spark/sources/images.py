@@ -309,7 +309,17 @@ def _count_data_files(spark: SparkSession, location: str) -> int:
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
+        fp = f.getPath()
+        name = fp.getName()
+        # Hadoop hidden convention: _/. prefixed files AND directories
+        # (e.g. the _layout metadata table) are not data files
+        hidden = name.startswith(("_", "."))
+        parent = fp.getParent()
+        while not hidden and parent is not None and parent.getName():
+            if parent.getName().startswith(("_", ".")):
+                hidden = True
+            parent = parent.getParent()
+        if not hidden and name.endswith(".parquet"):
             n += 1
     return n
 
@@ -357,6 +367,15 @@ GEOTIFF_MANIFEST_SCHEMA = (
     "image_id string, path string, nbytes long, sha256 string, "
     "georeferenced boolean"
 )
+
+
+def _attempt_id() -> int:
+    """Task attempt id (0 on the driver) — the per-attempt uniqueness
+    every scratch-file name needs under speculation/retries."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.taskAttemptId() if ctx is not None else 0
 
 
 def export_geotiff(
@@ -424,7 +443,7 @@ def export_geotiff(
 
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
-            attempt = ctx.taskAttemptId() if ctx is not None else 0
+            attempt = _attempt_id()
             tar_path = os.path.join(out_dir, f"part-{pid:05d}.tar")
             # attempt-unique scratch + atomic rename at close: concurrent
             # speculative/zombie attempts of the same partition never
@@ -440,18 +459,24 @@ def export_geotiff(
                 w, h = int(r.w), int(r.h)
                 px = codec.decode(bytes(r.bytes), w, h, r.fmt)
                 geo = None
-                # BOTH coordinates must be present and finite — a lat
-                # without a lon would otherwise crash on float(None) or
-                # bake NaN georeferencing doubles into the tags
+                # coordinates must be present/finite (a lat without a lon
+                # would crash on float(None) or bake NaN doubles into the
+                # tags) AND altitude must be a positive finite number —
+                # alt 0/NULL gives GSD 0 and a ModelPixelScale of (0,0,0),
+                # an invalid geotransform GDAL rejects; such rows export
+                # as plain TIFFs instead
                 has_gps = not (
                     r.lat is None
                     or r.lon is None
+                    or r.alt is None
                     or pd.isna(r.lat)
                     or pd.isna(r.lon)
+                    or pd.isna(r.alt)
+                    or float(r.alt) <= 0.0
                 )
                 if has_gps:
                     lat, lon = float(r.lat), float(r.lon)
-                    alt = float(r.alt) if not pd.isna(r.alt) else 0.0
+                    alt = float(r.alt)
                     m_lon = m_lat * math.cos(math.radians(lat))
                     gx = SENSOR_W_MM * alt / (FOCAL_MM * SENSOR_W_PX)
                     gy = SENSOR_H_MM * alt / (FOCAL_MM * SENSOR_H_PX)
@@ -480,9 +505,14 @@ def export_geotiff(
                     tar.addfile(info, io.BytesIO(payload))
                     path = f"{tar_path}#{name}"
                 else:
+                    # same attempt-isolation as the tar path: scratch file
+                    # + atomic rename, so speculative/zombie attempts never
+                    # interleave into (or truncate) a final .tif
                     path = os.path.join(out_dir, name)
-                    with open(path, "wb") as f:
+                    scratch = f"{path}.attempt-{_attempt_id()}.inprogress"
+                    with open(scratch, "wb") as f:
                         f.write(payload)
+                    os.replace(scratch, path)
                 out.append(
                     (
                         r.image_id,
