@@ -569,3 +569,18 @@ def test_export_geotiff_null_or_zero_alt_not_georeferenced(spark, tmp):
         assert m["georeferenced"] is False
         _, meta = codec.decode_geotiff(Path(m["path"]).read_bytes())
         assert "pixel_scale" not in meta
+
+
+def test_orc_source_sink_roundtrip(spark, tmp):
+    """ORC — the other columnar format Spark ships natively (a reference
+    user migrating from Hive gets it for free): binary payloads and all
+    metadata round-trip byte-identically, and the engine's queries read it
+    the same as parquet."""
+    df = images_df(spark, 4)
+    out = str(tmp / "orc_tab")
+    df.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == df.count()
+    a = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in df.collect()}
+    b = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in back.collect()}
+    assert a == b
