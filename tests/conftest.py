@@ -9,7 +9,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# override to re-prove parity at another scale (sf-dependent divergence —
+# AQE replans, LSH collision profiles, tie distributions — never shows at
+# one sf): SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 pytest tests/test_oracle_parity.py
+import os as _os
+
+SF_ORACLE = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
