@@ -316,3 +316,26 @@ def test_geotiff_tags_roundtrip_and_guards():
     if not has_pillow:
         with pytest.raises(NotImplementedError):
             codec.decode(bytes(t), 48, 32, "tiff")
+
+
+def test_png_nonbaseline_routes_to_pillow_gate():
+    """decode() for fmt='png' mirrors the tiff branch (ADVICE r3): a
+    non-baseline profile (here: interlace flag set) raises
+    NotImplementedError from the stdlib decoder, and the dispatch converts
+    it into the optional-Pillow gate instead of failing outright."""
+    rng = np.random.default_rng(14)
+    band = rng.integers(0, 65536, (16, 20)).astype(np.uint16)
+    p = bytearray(codec.encode_png_u16(band))
+    # IHDR interlace byte: 8 sig + 8 chunk header + 12 into IHDR data
+    p[28] = 1
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codec.decode_png_u16(bytes(p))
+    try:
+        import PIL  # noqa: F401
+
+        has_pillow = True
+    except ImportError:
+        has_pillow = False
+    if not has_pillow:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            codec.decode(bytes(p), 20, 16, "png")

@@ -584,3 +584,20 @@ def test_orc_source_sink_roundtrip(spark, tmp):
     a = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in df.collect()}
     b = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in back.collect()}
     assert a == b
+
+
+def test_export_geotiff_rejects_unsafe_ids(spark, tmp):
+    """ids become filenames verbatim (ADVICE r3): a path separator or
+    '..' must be rejected, not written outside out_dir."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from tiff_enrichment_pipeline_spark.sources.images import export_geotiff
+
+    df = images_df(spark, 1).withColumn(
+        "image_id", F.concat(F.lit("../escape/"), F.col("image_id"))
+    )
+    out = str(tmp / "unsafe")
+    with pytest.raises(PythonException, match="not a safe filename"):
+        export_geotiff(df, out).collect()
+    # nothing escaped out_dir
+    assert not (tmp / "escape").exists()

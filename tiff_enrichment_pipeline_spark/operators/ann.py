@@ -44,6 +44,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     max_corpus: int = 1_000_000,
+    skip_guard: bool = False,
 ) -> DataFrame:
     """query rows + (rank, neighbor_id, cosine) — exact cosine top-k.
 
@@ -54,10 +55,13 @@ def brute_force_topk(
     corpus, valid only for broadcastable corpora. ``max_corpus`` guards
     against misuse — beyond it the corpus-proportional collect would OOM
     the driver, so we raise and point at the scale paths instead.
+    ``skip_guard=True`` drops the guard's count() job for callers that
+    already validated (or cached) the corpus — e.g. a loop re-querying the
+    same pre-counted corpus.
     """
     # limit(max+1).count() bounds the guard's own scan: it never reads
     # past the threshold, instead of paying a full corpus count per call
-    n_corpus = corpus.limit(max_corpus + 1).count()
+    n_corpus = 0 if skip_guard else corpus.limit(max_corpus + 1).count()
     if n_corpus > max_corpus:
         raise ValueError(
             f"brute_force_topk: corpus has > max_corpus="
@@ -344,7 +348,10 @@ def kmeans_refine(
     return C, shifts
 
 
-def _probes_udf(cents: np.ndarray, nprobe: int, spark_context):
+def _make_probes_udf(cents: np.ndarray, nprobe: int, spark_context):
+    """Build the pandas UDF mapping a query vector to its ``nprobe``
+    nearest-centroid list ids (renamed from ``_probes_udf``: the old name
+    read like the UDF itself rather than its factory)."""
     bc = spark_context.broadcast(cents)
 
     @F.pandas_udf("array<int>")
@@ -366,24 +373,30 @@ def _ivf_rank(qp: DataFrame, corpus_a: DataFrame, k: int, id_col: str) -> DataFr
 
     No forced broadcast — ``ivf_list`` is a uniform-ish low-cardinality
     key; Catalyst/AQE picks broadcast when the (pruned) corpus side fits
-    and a skew-aware shuffle join otherwise."""
+    and a skew-aware shuffle join otherwise.
+
+    Norms are precomputed per ROW before the join (identical float ops:
+    sqrt of the same left-to-right sum), not per candidate PAIR — at
+    nprobe×|list| pairs per query the per-pair form re-evaluates each
+    interpreted HOF norm O(candidates) times."""
     from pyspark.sql import Window
 
+    def _norm(col: str) -> F.Column:
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    qp = qp.withColumn("_nq", _norm("qv"))
+    corpus_a = corpus_a.withColumn("_nc", _norm("cv"))
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    nq = F.sqrt(F.aggregate(
-        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nc = F.sqrt(F.aggregate(
-        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         qp.join(corpus_a, "ivf_list")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", dot / (nq * nc))
+        .withColumn("cosine", dot / (F.col("_nq") * F.col("_nc")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -416,7 +429,7 @@ def ivf_topk(
     corpus_a = ivf_assign_df(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "ivf_list"
     )
-    probes = _probes_udf(cents, nprobe, queries.sparkSession.sparkContext)
+    probes = _make_probes_udf(cents, nprobe, queries.sparkSession.sparkContext)
     qp = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).withColumn("ivf_list", F.explode(probes(F.col("qv"))))
@@ -506,7 +519,7 @@ def ivf_probe_pruned(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["ivf_list"])],
         dtype=np.float64,
     )
-    probes = _probes_udf(cents, nprobe, spark.sparkContext)
+    probes = _make_probes_udf(cents, nprobe, spark.sparkContext)
     qp = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).withColumn("ivf_list", F.explode(probes(F.col("qv"))))

@@ -377,6 +377,7 @@ def nearest_station_dated(
     lat: str = "lat",
     ts: str = "captured_at",
     broadcast_obs: bool = True,
+    prune_obs_dates: bool = True,
     res: int = 10,
     ring: int = 2,
 ) -> DataFrame:
@@ -391,9 +392,28 @@ def nearest_station_dated(
     observation dimension fits (``broadcast_obs=True``); otherwise a
     skew-free shuffle (dates and station ids are both uniform, geographic
     hot cells never reach the key). ``res``/``ring``: 1-NN candidate
-    buckets, forwarded to knn_nearest (exact for any setting)."""
+    buckets, forwarded to knn_nearest (exact for any setting).
+
+    ``prune_obs_dates``: shrink the observation dimension to the probe's
+    [min, max] capture-date range before broadcasting (one tiny
+    column-pruned aggregate job over the probe's ts column). The obs dim
+    is |stations| × |history days|, but any one corpus spans a fraction of
+    the history — dates outside the probe span can never match the LEFT
+    join key, so the filter is exact-preserving while cutting the
+    broadcast build side by the temporal-span ratio. At 100× scale this is
+    the difference between broadcasting the full station-day history and
+    only the corpus's own epoch."""
     nn = knn_nearest(images, stations, lon=lon, lat=lat, res=res, ring=ring)
     obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
+    if prune_obs_dates:
+        span = images.select(
+            F.min(F.to_date(F.col(ts))).alias("lo"),
+            F.max(F.to_date(F.col(ts))).alias("hi"),
+        ).first()
+        if span["lo"] is not None:
+            obs = obs.filter(
+                F.col("weather_historical_date").between(span["lo"], span["hi"])
+            )
     if broadcast_obs:
         obs = F.broadcast(obs)
     return nn.withColumn(

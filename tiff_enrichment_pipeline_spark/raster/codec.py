@@ -399,7 +399,23 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in ("raw-u16", "lossy-q12"):
         return decode_raw_u16(payload, w, h)
     if fmt == "png":
-        arr = decode_png_u16(payload)
+        try:
+            arr = decode_png_u16(payload)  # stdlib baseline profile
+        except NotImplementedError:
+            # non-baseline PNG (colour, interlaced, <16-bit) → optional
+            # Pillow, mirroring the tiff branch (ADVICE r3: this branch
+            # used to raise even with Pillow installed)
+            try:
+                import io
+
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as e:  # codec libs absent in this container
+                raise NotImplementedError(
+                    "non-baseline png decode requires Pillow (not "
+                    "installed); grayscale 16-bit non-interlaced decodes "
+                    "stdlib-only"
+                ) from e
+            arr = np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
         if arr.shape != (h, w):
             raise ValueError(
                 f"png dimensions {arr.shape} != metadata ({h}, {w})"

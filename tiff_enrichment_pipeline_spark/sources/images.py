@@ -496,6 +496,21 @@ def export_geotiff(
                     geo=geo,
                 )
                 name = r.image_id
+                # ids become filenames / tar member names verbatim: a
+                # separator or '..' would write OUTSIDE out_dir (or
+                # collide across rows after a lossy rewrite) — reject
+                # rather than sanitize so distinct ids can never alias
+                if (
+                    "/" in name
+                    or "\\" in name
+                    or ".." in name
+                    or name in ("", ".")
+                ):
+                    raise ValueError(
+                        f"export_geotiff: image_id {name!r} is not a safe "
+                        "filename (path separators / '..' not allowed); "
+                        "clean ids upstream before exporting"
+                    )
                 if not name.lower().endswith((".tif", ".tiff")):
                     name += ".tif"
                 if tar is not None:
