@@ -339,3 +339,68 @@ def test_png_nonbaseline_routes_to_pillow_gate():
     if not has_pillow:
         with pytest.raises(NotImplementedError, match="Pillow"):
             codec.decode(bytes(p), 20, 16, "png")
+
+
+def test_jpeg_baseline_roundtrip_and_gates():
+    """Stdlib baseline grayscale JPEG (VERDICT r3 stretch #9): smooth
+    rasters round-trip above the input_hint's 40 dB lossy floor, q100 is
+    near-lossless in the 8-bit domain, DQT is spec-ordered (zigzag), and
+    non-baseline profiles raise the Pillow-gated NotImplementedError."""
+    import struct as _struct
+
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    y, x = np.mgrid[0:64, 0:96]
+    band = (
+        20000 + 300 * x + 150 * y + 5000 * np.sin(x / 9.0) * np.cos(y / 7.0)
+    ).astype(np.uint16)
+
+    enc = jpeg.encode_jpeg_gray(band, quality=92)
+    dec = jpeg.decode_jpeg_gray(enc)
+    assert dec.shape == band.shape and dec.dtype == np.uint16
+    mse = ((band.astype(np.float64) - dec.astype(np.float64)) ** 2).mean()
+    psnr = 10 * np.log10(65535.0**2 / mse)
+    assert psnr >= 40.0, psnr  # input_hint lossy floor
+    assert len(enc) < band.nbytes / 4  # actually compresses
+
+    # q100 ≈ lossless in the 8-bit domain (quant table is all small)
+    dec100 = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(band, quality=100))
+    assert np.abs(
+        (band >> 8).astype(int) - (dec100 // 257).astype(int)
+    ).max() <= 2
+
+    # non-multiple-of-8 dims (edge-replication padding)
+    odd = band[:61, :83]
+    assert jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(odd)).shape == (61, 83)
+
+    # DQT segment carries the table in ZIGZAG order (B.2.4.1)
+    i = enc.find(b"\xff\xdb")
+    (ln,) = _struct.unpack(">H", enc[i + 2 : i + 4])
+    stored = np.frombuffer(enc[i + 5 : i + 5 + 64], dtype=np.uint8)
+    assert ln == 67  # 2 len + 1 id + 64 table
+    nat = jpeg._quant_table(92)
+    assert np.array_equal(stored, nat[jpeg._ZIGZAG].astype(np.uint8))
+
+    # gates: progressive SOF2 and 3-component SOF0 refuse with the
+    # stdlib-path NotImplementedError (decode() adds the Pillow gate)
+    prog = bytearray(enc)
+    j = prog.find(b"\xff\xc0")
+    prog[j + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg.decode_jpeg_gray(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg_gray(b"NOTAJPEG")
+
+    # codec.decode dispatch: fmt='jpeg' decodes stdlib-only; wrong
+    # metadata dims is a hard error
+    got = codec.decode(enc, 96, 64, "jpeg")
+    assert np.array_equal(got, dec)
+    with pytest.raises(ValueError, match="dimensions"):
+        codec.decode(enc, 10, 10, "jpeg")
+
+    # truncation raises the kind of error decode_status classifies as
+    # 'corrupt' (ValueError/struct.error — NOT NotImplementedError, which
+    # would route the row to 'unsupported')
+    with pytest.raises(Exception) as ei:
+        codec.decode(enc[:40], 96, 64, "jpeg")
+    assert not isinstance(ei.value, NotImplementedError)

@@ -124,3 +124,32 @@ def test_fused_resize_extract_matches_chained(spark, images):
     assert fused == chained
     plan = fused_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_jpeg_payloads_flow_through_multimodal(spark):
+    """fmt='jpeg' through the distributed feature pipeline: baseline
+    grayscale JPEG payloads decode inside the mapInPandas stage (stdlib
+    codec) and produce features matching the numpy path on the DECODED
+    (lossy) pixels."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    def smooth(seed: int, w: int = 32, h: int = 24) -> np.ndarray:
+        y, x = np.mgrid[0:h, 0:w]
+        return (
+            10000 + 700 * x + 400 * y + 2000 * np.sin((x + seed) / 5.0)
+        ).astype(np.uint16)
+
+    rows = [
+        (i, jpeg.encode_jpeg_gray(smooth(i)), 32, 24, "jpeg")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, w int, h int, fmt string"
+    )
+    out = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        decoded = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(smooth(i)))
+        m, s, p95, e = image_features_np(decoded)
+        assert out[i]["px_mean"] == pytest.approx(m)
+        assert out[i]["px_std"] == pytest.approx(s)

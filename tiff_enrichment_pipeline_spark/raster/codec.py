@@ -421,6 +421,33 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                 f"png dimensions {arr.shape} != metadata ({h}, {w})"
             )
         return arr
+    if fmt == "jpeg":
+        from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
+
+        try:
+            arr = _jpeg.decode_jpeg_gray(payload)  # stdlib baseline profile
+        except NotImplementedError:
+            # non-baseline profile (color, progressive, subsampled,
+            # 12-bit, restarts) → optional Pillow, same policy as tiff/png
+            try:
+                import io
+
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as e:  # codec libs absent in this container
+                raise NotImplementedError(
+                    "non-baseline jpeg decode requires Pillow (not "
+                    "installed); grayscale baseline sequential decodes "
+                    "stdlib-only"
+                ) from e
+            arr = np.asarray(
+                Image.open(io.BytesIO(payload)).convert("I;16"),
+                dtype=np.uint16,
+            )
+        if arr.shape != (h, w):
+            raise ValueError(
+                f"jpeg dimensions {arr.shape} != metadata ({h}, {w})"
+            )
+        return arr
     if fmt == "tiff":
         try:
             arr = decode_tiff_u16(payload)  # stdlib baseline profile
