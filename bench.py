@@ -228,8 +228,11 @@ def run_scaling() -> None:
             "taskset", "-c", f"0-{int(cores) - 1}",
             sys.executable, __file__, "--scaling-worker", cores, str(mult),
         ]
+        # the low-core arm at mult=320 runs ~400 s of measured work alone;
+        # under co-tenant load 560 s was killing it silently
         out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=560
+            cmd, capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "900")),
         ).stdout.strip().splitlines()[-1]
         r = json.loads(out)
         n_images = r["n_images"]

@@ -601,3 +601,44 @@ def test_export_geotiff_rejects_unsafe_ids(spark, tmp):
         export_geotiff(df, out).collect()
     # nothing escaped out_dir
     assert not (tmp / "escape").exists()
+
+
+def test_stratified_sample_rebalances_deterministically(spark):
+    """Per-stratum fractions (class rebalancing): rare strata keep 100% of
+    rows, the downsampled stratum hits its rate within hash tolerance, the
+    keep-set is IDENTICAL across repartitioning (retry/resume), and strata
+    missing from the fraction map default to drop."""
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 < 3, "common").otherwise("rare").alias("cls"),
+    )
+    out = stratified_sample(df, "k", "cls", {"common": 0.25, "rare": 1.0})
+    by = {r["cls"]: r["n"] for r in out.groupBy("cls").count().withColumnRenamed("count", "n").collect()}
+    assert by["rare"] == 1000  # fraction 1.0 keeps everything
+    assert abs(by["common"] - 750) < 120  # 3000 × 0.25, hash tolerance
+
+    # identical keep-set under a different partitioning (resume guarantee)
+    a = {r["k"] for r in out.collect()}
+    b = {
+        r["k"]
+        for r in stratified_sample(
+            df.repartition(7, "cls"), "k", "cls", {"common": 0.25, "rare": 1.0}
+        ).collect()
+    }
+    assert a == b
+
+    # unlisted stratum → default_fraction (allowlist drop, then opt-in)
+    assert stratified_sample(df, "k", "cls", {"rare": 1.0}).filter(
+        F.col("cls") == "common"
+    ).count() == 0
+    kept_half = stratified_sample(
+        df, "k", "cls", {"rare": 1.0}, default_fraction=0.5
+    ).filter(F.col("cls") == "common").count()
+    assert abs(kept_half - 1500) < 150
+
+    with pytest.raises(ValueError, match="not in"):
+        stratified_sample(df, "k", "cls", {"rare": 1.5})

@@ -97,3 +97,50 @@ def stratified_split(
     shuffle-free; per-stratum proportions hold by hash uniformity when the
     key is unique per row."""
     return df.withColumn(label, split_column(F.col(key), weights))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-REBALANCING operation
+    (keep 100% of rare languages, 10% of English; keep all positives,
+    downsample negatives). Row keep/drop is ``hash(key) bucket <
+    fraction[stratum] threshold``: a pure projection+filter, no shuffle, no
+    RNG — so a retried/resumed stage keeps exactly the same rows, and the
+    choice is recomputable in any engine with md5 (oracle-checkable).
+    Strata missing from ``fractions`` get ``default_fraction`` (0.0 =
+    drop — the allowlist curation default)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} = {f} not in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction={default_fraction} not in [0, 1]")
+    b = sample_bucket(F.col(key))
+    thr = None
+    for s, f in fractions.items():
+        cond = F.col(strata) == s
+        t = F.lit(int(round(f * _BUCKETS)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_thr = F.lit(int(round(default_fraction * _BUCKETS)))
+    thr = default_thr if thr is None else thr.otherwise(default_thr)
+    return df.filter(b < thr)
+
+
+def stratified_sample_sql(
+    key_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    """WHERE-clause twin of ``stratified_sample`` for the DuckDB oracle."""
+    b = sample_bucket_sql(key_expr)
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(round(f * _BUCKETS))}"
+        for s, f in fractions.items()
+    )
+    default_thr = int(round(default_fraction * _BUCKETS))
+    return f"({b} < CASE {cases} ELSE {default_thr} END)"

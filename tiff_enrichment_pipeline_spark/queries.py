@@ -3051,11 +3051,46 @@ def q_streaming_upsert_eq_sql() -> str:
     FROM events"""
 
 
+_REBALANCE = {"en": 0.4, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing stratified sampling (operators/sampling.py): the
+    'en'-heavy documents corpus downsampled to 40% English while keeping
+    every other language in full — deterministic hash-mod per stratum
+    (retry/resume-stable, engine-portable), a pure projection+filter with
+    NO shuffle and no RNG. The per-language counts come out as one
+    map-side-partial aggregate."""
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _REBALANCE)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+def q_stratified_sample_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    keep = stratified_sample_sql("doc_id", "lang", _REBALANCE)
+    # CAST: DuckDB SUM(BIGINT) is HUGEINT; Spark's is LONG
+    return f"""SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents WHERE {keep} GROUP BY lang"""
+
+
 QUERIES.update(
     {
         "ivf_exhaustive": q_ivf_exhaustive,
         "image_integrity_rel": q_image_integrity_rel,
         "streaming_upsert_eq": q_streaming_upsert_eq,
+        "stratified_sample": q_stratified_sample,
     }
 )
 ORACLES.update(
@@ -3063,6 +3098,7 @@ ORACLES.update(
         "ivf_exhaustive": q_ivf_exhaustive_sql(),
         "image_integrity_rel": q_image_integrity_rel_sql(),
         "streaming_upsert_eq": q_streaming_upsert_eq_sql(),
+        "stratified_sample": q_stratified_sample_sql(),
     }
 )
 
@@ -3133,8 +3169,8 @@ _DEMOTED = [
     "user_session_rank", "running_total", "event_gaps", "union_glob",
     "simhash", "dedup_components", "phash_neardup", "ivf_ann_pruned",
     "image_integrity",
-    # next-round rotation candidates (round-3 ops not yet driver-recorded)
-    "zorder_encode", "train_split",
+    # next-round rotation candidates (not yet driver-recorded)
+    "zorder_encode", "train_split", "stratified_sample",
     # long-standing redundant variants (see per-name notes in COVERAGE.md)
     "daily_stats", "json_extract", "minhash_signatures", "lsh_pairs",
     "cube_status", "embedding_neardup", "ivf_ann", "jaccard_pairs",
