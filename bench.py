@@ -83,6 +83,8 @@ def run_default() -> None:
         "lsh_dedup_clusters", "phash_neardup", "multimodal_features",
         # round-3 batch 9: terrain derivatives (UDF-heavy raster path)
         "terrain",
+        # round-4 breadth: radius join, zonal stats, stratified sampling
+        "within_radius", "zonal_elevation", "stratified_sample",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
