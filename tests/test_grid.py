@@ -128,3 +128,59 @@ def test_cell_of_null_and_nan_yield_null(spark):
         ).collect()
     }
     assert out[1] is None and out[2] is None and out[3] is not None
+
+
+def test_hilbert_curve_properties_and_engine_parity(spark):
+    """The S2-analog Hilbert index: (1) Spark == numpy reference on random
+    coords, (2) the DEFINING curve property — consecutive indices are
+    always grid-adjacent (Manhattan distance exactly 1; the Morton
+    z-curve violates this at every row boundary), (3) parent coarsening
+    is index >> 2, (4) NULL/NaN GPS -> NULL."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    lons = rng.uniform(-180, 180, 400)
+    lats = rng.uniform(-90, 90, 400)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lons, lats))],
+        "i long, lon double, lat double",
+    )
+    got = [
+        r["hilbert"]
+        for r in grid.with_hilbert(df, k=13).orderBy("i").collect()
+    ]
+    want = grid.hilbert_np(lons, lats, 13)
+    assert got == [int(v) for v in want]
+
+    # adjacency: exhaustive over a full order-7 curve (16384 steps)
+    k = 7
+    d = np.arange(0, 4**k - 1)
+    x1, y1 = grid.hilbert_d2xy_np(d, k)
+    x2, y2 = grid.hilbert_d2xy_np(d + 1, k)
+    assert (np.abs(x1 - x2) + np.abs(y1 - y2) == 1).all()
+    # ...and the inverse walk round-trips through lon/lat
+    n = 2**k
+    lon_c = (x1 + 0.5) / n * 360.0 - 180.0
+    lat_c = (y1 + 0.5) / n * 180.0 - 90.0
+    assert np.array_equal(grid.hilbert_np(lon_c, lat_c, k), d)
+
+    # parent: order-k index >> 2 IS the order-(k-1) index
+    assert np.array_equal(
+        grid.hilbert_np(lons, lats, 13) >> 2, grid.hilbert_np(lons, lats, 12)
+    )
+
+    # null gate
+    df2 = spark.createDataFrame(
+        [(None, 1.0), (float("nan"), 2.0), (3.0, 4.0)],
+        "lon double, lat double",
+    )
+    vals = [r["hilbert"] for r in grid.with_hilbert(df2, k=13).collect()]
+    assert vals[0] is None and vals[1] is None and vals[2] is not None
+
+    # plan stays JVM-side: chained projections collapse, no Python node
+    plan = (
+        grid.with_hilbert(df, k=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -212,3 +212,50 @@ def test_sliding_window_single_shuffle(spark):
         if "Exchange hashpartitioning" in l
     ]
     assert len(hash_exchanges) == 1, plan
+
+
+def test_zonal_elevation_plan_quality(spark):
+    """Zonal stats (PIP × elevation composition): the probe side must keep
+    the flagship's physical shape — broadcast joins only, ONE fused Python
+    crossing, and exactly one exchange for the final per-class aggregate."""
+    from tiff_enrichment_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["zonal_elevation"](spark, SF)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    hash_exchanges = [
+        ls for ls in (l.strip() for l in plan.splitlines())
+        if "Exchange hashpartitioning" in ls
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges  # the groupBy only
+
+
+def test_dated_weather_obs_dim_is_date_pruned(spark):
+    """The obs build side must carry the probe-span date filter BEFORE its
+    broadcast (VERDICT r3 #5): the plan's obs-side subtree contains a
+    filter on the composite date key; disabling the knob removes it."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = geotables.images_geo(spark, SF).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, SF)
+    obs = geotables.weather_observations(spark, SF)
+
+    def has_date_filter(prune: bool) -> bool:
+        df = nearest_station_dated(img, st, obs, prune_obs_dates=prune)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # Catalyst pushes the filter below the rename: the condition
+        # references the pre-rename obs_date attribute
+        return any(
+            "Filter" in line
+            and (">=" in line and "<=" in line)
+            and ("obs_date" in line or "weather_historical_date" in line)
+            for line in opt.splitlines()
+        )
+
+    assert has_date_filter(True)
+    assert not has_date_filter(False)

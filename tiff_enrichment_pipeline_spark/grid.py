@@ -191,6 +191,196 @@ def zorder_np(lon: np.ndarray, lat: np.ndarray, k: int = ZORDER_RES) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# Hilbert-curve cell index — the S2 analog (BASELINE north star names BOTH
+# "H3 (res 7-9)" — the quad-cell family above — AND "S2 cells"; S2's
+# defining trait vs Morton/quad is the Hilbert space-filling curve, whose
+# consecutive indices are ALWAYS grid-adjacent, giving strictly better
+# write/scan locality than the z-curve for range reads).
+# ---------------------------------------------------------------------------
+
+HILBERT_RES = 13  # 8192×8192 lattice ≈ the res-13 (H3-7-like) granularity
+
+
+def _hilbert_lattice(lon: Column, lat: Column, k: int) -> tuple[Column, Column]:
+    n = 2**k
+    ix = F.greatest(
+        F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(n - 1)),
+        F.lit(0),
+    ).cast("long")
+    iy = F.greatest(
+        F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(n - 1)),
+        F.lit(0),
+    ).cast("long")
+    return ix, iy
+
+
+def with_hilbert(
+    df,
+    lon: str = "lon",
+    lat: str = "lat",
+    k: int = HILBERT_RES,
+    out: str = "hilbert",
+):
+    """df + ``out`` = Hilbert index (order ``k``) of the lattice cell
+    containing (lon, lat). NULL/NaN GPS → NULL (NULL propagates through
+    every step).
+
+    The classic xy→d loop carries (x, y, d) state across ``k``
+    iterations; a single Column expression would re-reference each state
+    3× per level (exponential text blowup), so this is a DataFrame
+    transform — one ``withColumn`` chain per level, which Catalyst
+    collapses into a single codegen'd Project (linear plan size). Same
+    shape as the SQL twin's chained CTEs (``hilbert_sql_ctes``). Stays
+    100% JVM-side."""
+    n = 2**k
+    ix, iy = _hilbert_lattice(F.col(lon), F.col(lat), k)
+    # NaN coords: floor(NaN) is NaN-poisoned via least/greatest on some
+    # paths — force NULL so the propagation invariant holds
+    s = F.col(lon).cast("double") + F.col(lat).cast("double")
+    ok = s.isNotNull() & ~F.isnan(s)
+    df = (
+        df.withColumn("_hx", F.when(ok, ix))
+        .withColumn("_hy", F.when(ok, iy))
+        .withColumn("_hd", F.when(ok, F.lit(0)).cast("long"))
+    )
+    for b in range(k - 1, -1, -1):
+        step = 2**b
+        rx = (F.floor(F.col("_hx") / F.lit(step)) % 2).cast("long")
+        ry = (F.floor(F.col("_hy") / F.lit(step)) % 2).cast("long")
+        df = df.withColumn("_rx", rx).withColumn("_ry", ry)
+        # (3·rx) XOR ry as pure arithmetic: 3rx + ry − 2·rx·ry
+        df = df.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(step * step)
+            * (
+                F.lit(3) * F.col("_rx")
+                + F.col("_ry")
+                - F.lit(2) * F.col("_rx") * F.col("_ry")
+            ),
+        )
+        # rotate/flip the frame (flip is n−1−·, the FULL lattice width)
+        nx_ = (
+            F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(n - 1) - F.col("_hy")
+                ).otherwise(F.col("_hy")),
+            ).otherwise(F.col("_hx"))
+        )
+        ny_ = (
+            F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(n - 1) - F.col("_hx")
+                ).otherwise(F.col("_hx")),
+            ).otherwise(F.col("_hy"))
+        )
+        df = (
+            df.withColumn("_hx_n", nx_)
+            .withColumn("_hy_n", ny_)
+            .drop("_hx", "_hy")
+            .withColumnRenamed("_hx_n", "_hx")
+            .withColumnRenamed("_hy_n", "_hy")
+        )
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd", "_rx", "_ry")
+
+
+def hilbert_sql_ctes(
+    base: str,
+    keep_cols: str,
+    lon_expr: str,
+    lat_expr: str,
+    k: int = HILBERT_RES,
+    out: str = "hilbert",
+) -> str:
+    """Chained-CTE SQL computing the identical Hilbert index over rows of
+    CTE/table ``base`` (DuckDB oracle twin of ``with_hilbert``; linear
+    text size — each level references the previous CTE's columns a
+    constant number of times). Returns text of the form
+    ``h0 AS (...), h1 AS (...), ..., hK AS (SELECT keep_cols, hd AS out)``
+    — splice after your base CTE and select from ``h{k}``."""
+    n = 2**k
+    ix = (
+        f"CAST(GREATEST(LEAST(FLOOR(({lon_expr}+180.0)/360.0*{n}), {n - 1}),"
+        f" 0) AS BIGINT)"
+    )
+    iy = (
+        f"CAST(GREATEST(LEAST(FLOOR(({lat_expr}+90.0)/180.0*{n}), {n - 1}),"
+        f" 0) AS BIGINT)"
+    )
+    parts = [
+        f"h0 AS (SELECT {keep_cols}, {ix} AS hx, {iy} AS hy,"
+        f" CAST(0 AS BIGINT) AS hd FROM {base})"
+    ]
+    lvl = 0
+    for b in range(k - 1, -1, -1):
+        step = 2**b
+        rx = f"((hx//{step})%2)"
+        ry = f"((hy//{step})%2)"
+        parts.append(
+            f"h{lvl + 1} AS (SELECT {keep_cols}, "
+            f"CASE WHEN {ry}=0 THEN CASE WHEN {rx}=1 THEN {n - 1}-hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN {ry}=0 THEN CASE WHEN {rx}=1 THEN {n - 1}-hx ELSE hx END ELSE hy END AS hy, "
+            f"hd + {step * step}*(3*{rx} + {ry} - 2*{rx}*{ry}) AS hd "
+            f"FROM h{lvl})"
+        )
+        lvl += 1
+    parts.append(
+        f"h{lvl + 1} AS (SELECT {keep_cols}, hd AS {out} FROM h{lvl})"
+    )
+    return ",\n    ".join(parts)
+
+
+def hilbert_np(
+    lon: np.ndarray, lat: np.ndarray, k: int = HILBERT_RES
+) -> np.ndarray:
+    """Vectorized reference (tests, fixtures)."""
+    n = 2**k
+    x = np.clip(
+        np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n), 0, n - 1
+    ).astype(np.int64)
+    y = np.clip(
+        np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * n), 0, n - 1
+    ).astype(np.int64)
+    d = np.zeros_like(x)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        x2 = np.where(flip, n - 1 - x, x)
+        y2 = np.where(flip, n - 1 - y, y)
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s //= 2
+    return d
+
+
+def hilbert_d2xy_np(d: np.ndarray, k: int = HILBERT_RES) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse curve walk (test oracle for the adjacency property)."""
+    n = 2**k
+    t = np.asarray(d, np.int64).copy()
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    s = 1
+    while s < n:
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        x = x + s * rx
+        y = y + s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+# ---------------------------------------------------------------------------
 # SQL generator (DuckDB-oracle parity) — same arithmetic, ANSI SQL text
 # ---------------------------------------------------------------------------
 

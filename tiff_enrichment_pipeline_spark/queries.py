@@ -3085,12 +3085,47 @@ def q_stratified_sample_sql() -> str:
     FROM documents WHERE {keep} GROUP BY lang"""
 
 
+def q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell index (grid.with_hilbert) — the S2-analog second
+    spatial-index family the north star names alongside the H3-like quad
+    cells. Consecutive indices are ALWAYS grid-adjacent (pinned in
+    tests/test_grid.py), so sorting/range-partitioning by this key gives
+    strictly better file locality than the Morton z-curve; parent cells
+    are index >> 2, same re-aggregation shape as cell_pyramid. Stays
+    100% JVM-side (chained codegen projections, no UDF)."""
+    img = geotables.images_geo(spark, sf_dir)
+    from tiff_enrichment_pipeline_spark import grid as _grid
+
+    out = _grid.with_hilbert(img, k=_grid.HILBERT_RES, out="hilbert_r13")
+    return out.select(
+        "image_id",
+        "hilbert_r13",
+        F.expr("hilbert_r13 DIV 4").alias("hilbert_r12"),
+    )
+
+
+def q_hilbert_encode_sql() -> str:
+    from tiff_enrichment_pipeline_spark import grid as _grid
+
+    ctes = _grid.hilbert_sql_ctes(
+        "images", "image_id", "lon", "lat", k=_grid.HILBERT_RES,
+        out="hilbert_r13",
+    )
+    last = f"h{_grid.HILBERT_RES + 1}"
+    # index is nonnegative -> Spark DIV (trunc) == DuckDB // (floor)
+    return f"""{_IMAGES_CTE},
+    {ctes}
+    SELECT image_id, hilbert_r13, hilbert_r13 // 4 AS hilbert_r12
+    FROM {last}"""
+
+
 QUERIES.update(
     {
         "ivf_exhaustive": q_ivf_exhaustive,
         "image_integrity_rel": q_image_integrity_rel,
         "streaming_upsert_eq": q_streaming_upsert_eq,
         "stratified_sample": q_stratified_sample,
+        "hilbert_encode": q_hilbert_encode,
     }
 )
 ORACLES.update(
@@ -3099,6 +3134,7 @@ ORACLES.update(
         "image_integrity_rel": q_image_integrity_rel_sql(),
         "streaming_upsert_eq": q_streaming_upsert_eq_sql(),
         "stratified_sample": q_stratified_sample_sql(),
+        "hilbert_encode": q_hilbert_encode_sql(),
     }
 )
 
@@ -3170,7 +3206,7 @@ _DEMOTED = [
     "simhash", "dedup_components", "phash_neardup", "ivf_ann_pruned",
     "image_integrity",
     # next-round rotation candidates (not yet driver-recorded)
-    "zorder_encode", "train_split", "stratified_sample",
+    "zorder_encode", "train_split", "stratified_sample", "hilbert_encode",
     # long-standing redundant variants (see per-name notes in COVERAGE.md)
     "daily_stats", "json_extract", "minhash_signatures", "lsh_pairs",
     "cube_status", "embedding_neardup", "ivf_ann", "jaccard_pairs",
