@@ -642,3 +642,63 @@ def test_stratified_sample_rebalances_deterministically(spark):
 
     with pytest.raises(ValueError, match="not in"):
         stratified_sample(df, "k", "cls", {"rare": 1.5})
+
+
+def test_hilbert_write_clusters_files_at_least_as_tight_as_zorder(
+    spark, tmp_path
+):
+    """cluster='hilbert' (S2-analog curve): same parquet-footer locality
+    guarantee as z-order — a small bbox touches a small fraction of files
+    — and never WORSE than z-order on the same input/partition count
+    (Hilbert has no row-boundary discontinuities)."""
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.sources.images import write_images
+
+    img = geotables.images_geo(spark, "/root/testdata/sf0.001", partitions=16)
+    hilb = str(tmp_path / "hilb")
+    zord = str(tmp_path / "zord")
+    for path, strat in ((hilb, "hilbert"), (zord, "zorder")):
+        write_images(
+            img, path, mode="overwrite", partition=False,
+            cluster=strat, cluster_partitions=16,
+        )
+
+    box = (5.0, 51.5, 5.5, 52.0)
+
+    def files_intersecting(path: str) -> tuple[int, int]:
+        hits, total = 0, 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+
+            def stat(name, fn, md=md, cols=cols):
+                vals = [
+                    getattr(
+                        md.row_group(g).column(cols[name]).statistics, fn
+                    )
+                    for g in range(md.num_row_groups)
+                ]
+                return min(vals) if fn == "min" else max(vals)
+
+            total += 1
+            if not (
+                stat("lon", "max") < box[0] or stat("lon", "min") > box[2]
+                or stat("lat", "max") < box[1] or stat("lat", "min") > box[3]
+            ):
+                hits += 1
+        return hits, total
+
+    h_hits, h_total = files_intersecting(hilb)
+    z_hits, z_total = files_intersecting(zord)
+    assert h_total > 4 and z_total > 4
+    assert h_hits <= h_total // 2, (h_hits, h_total)
+    assert h_hits <= z_hits, (h_hits, z_hits)
+    # identical logical content regardless of clustering strategy
+    a = spark.read.parquet(hilb).select("image_id").orderBy("image_id")
+    b = spark.read.parquet(zord).select("image_id").orderBy("image_id")
+    assert [r[0] for r in a.collect()] == [r[0] for r in b.collect()]

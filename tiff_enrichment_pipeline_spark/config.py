@@ -60,7 +60,8 @@ class EnrichConfig:
     # image/enriched table layout — write_images(buckets=...)
     partition_buckets: int = 16
     # write-path spatial clustering — write_images(cluster=...); 'zorder'
-    # sorts files along the Morton curve so bbox scans prune row groups
+    # sorts files along the Morton curve, 'hilbert' along the Hilbert
+    # curve (tighter envelopes) so bbox scans prune row groups
     cluster: str | None = None
 
     def validate(self) -> "EnrichConfig":
@@ -98,9 +99,9 @@ class EnrichConfig:
             v = getattr(self, name)
             if not isinstance(v, bool):
                 errs.append(f"{name}={v!r}: must be a bool")
-        if self.cluster not in (None, "zorder"):
+        if self.cluster not in (None, "zorder", "hilbert"):
             errs.append(
-                f"cluster={self.cluster!r}: must be None or 'zorder'"
+                f"cluster={self.cluster!r}: must be None, 'zorder' or 'hilbert'"
             )
         if errs:
             raise ConfigError(

@@ -143,7 +143,11 @@ def write_images(
     z-value of (lon, lat) before writing, so each parquet file/row-group
     covers a TIGHT lon/lat envelope and bbox predicates prune row groups
     at scan (the OPTIMIZE ZORDER pattern; the same trick Iceberg expresses
-    as a sort order). Orthogonal to the directory layout."""
+    as a sort order). ``cluster='hilbert'``: same mechanics on the
+    Hilbert index (grid.with_hilbert) — consecutive curve positions are
+    always grid-adjacent, so file envelopes are tighter than the
+    z-curve's at its row-boundary jumps (what S2/DataBricks liquid
+    clustering exploit). Orthogonal to the directory layout."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -151,13 +155,16 @@ def write_images(
     def _clustered(d: DataFrame) -> DataFrame:
         if cluster is None:
             return d
-        if cluster != "zorder":
+        if cluster not in ("zorder", "hilbert"):
             raise ValueError(f"unknown cluster strategy {cluster!r}")
         if "lon" not in d.columns or "lat" not in d.columns:
-            raise ValueError("cluster='zorder' needs lon/lat columns")
+            raise ValueError(f"cluster={cluster!r} needs lon/lat columns")
         from tiff_enrichment_pipeline_spark import grid
 
-        z = d.withColumn("_z", grid.zorder_of(F.col("lon"), F.col("lat")))
+        if cluster == "hilbert":
+            z = grid.with_hilbert(d, out="_z")
+        else:
+            z = d.withColumn("_z", grid.zorder_of(F.col("lon"), F.col("lat")))
         # explicit count pins the file count (AQE coalesces an unsized
         # range shuffle of a small table down to one partition)
         ranged = (
