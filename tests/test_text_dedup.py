@@ -418,3 +418,79 @@ def test_kmeans_refine_converges_to_true_clusters(spark):
     r6, _ = kmeans_refine(df, c6, iters=3)
     assert np.isfinite(r6).all()
     assert np.allclose(np.linalg.norm(r6, axis=1), 1.0)
+
+
+def test_minhash_index_incremental_lifecycle(spark, tmp_path):
+    """Persisted LSH index (the text analog of the IVF index): new docs
+    dedup against the index WITHOUT recomputing corpus signatures, the
+    index streams through a broadcast join (never shuffles), appends land
+    in compatible buckets (fixed permutation constants = the immutable
+    quantizer), and results equal the all-in-one batch chain."""
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        band_table,
+        dedup_against_index,
+        lsh_candidate_pairs,
+        minhash_signature_df,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [(i, base + f" variant {i % 3}") for i in range(40)]  # 3 dup groups
+    # fully disjoint vocabularies per doc (shared words would be a REAL
+    # near-dup signal, not a distinct doc)
+    uniq = [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(10)
+    ]
+    corpus = spark.createDataFrame(docs[:30] + uniq[:5], "doc_id long, text string")
+    newb = spark.createDataFrame(docs[30:] + uniq[5:], "doc_id long, text string")
+
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, path)
+    out = {r["doc_id"]: r for r in dedup_against_index(newb, path).collect()}
+    assert len(out) == 15
+
+    # truth from the batch chain over corpus ∪ new
+    both = corpus.unionByName(newb)
+    pairs = lsh_candidate_pairs(both)
+    cross = {
+        r["doc_a"]: True
+        for r in pairs.filter(
+            (F.col("doc_a") < 100) | (F.col("doc_b") < 100)
+        ).collect()
+    }
+    truth = {}
+    for r in pairs.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        for n, c in ((b, a), (a, b)):
+            if n in [x[0] for x in docs[30:] + uniq[5:]] and (
+                c in [x[0] for x in docs[:30] + uniq[:5]]
+            ):
+                truth[n] = min(truth.get(n, c), c)
+    for did, row in out.items():
+        assert row["is_dup"] == (did in truth), did
+        if did in truth:
+            assert row["dup_of"] == truth[did], did
+
+    # the variant docs collide, the distinct ones don't
+    assert all(out[d]["is_dup"] for d, _ in docs[30:])
+    assert not any(out[d]["is_dup"] for d, _ in uniq[5:])
+
+    # plan: corpus index is scan-side of a broadcast join (never shuffled)
+    plan = (
+        dedup_against_index(newb, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # append: new docs' buckets land alongside existing ones — a later
+    # batch now dedups against BOTH corpus and the appended increment
+    append_to_minhash_index(newb, path)
+    later = spark.createDataFrame([(200, base + " variant 0")], "doc_id long, text string")
+    r200 = dedup_against_index(later, path).collect()[0]
+    assert r200["is_dup"] and r200["dup_of"] == 0
+
+    # layout: partitioned by band, keys reproducible from text alone
+    bt_now = spark.read.parquet(path)
+    bt_re = band_table(minhash_signature_df(corpus.unionByName(newb)))
+    assert bt_now.count() == bt_re.count()

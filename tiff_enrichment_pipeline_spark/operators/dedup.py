@@ -92,12 +92,12 @@ def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing any (band, band-key) bucket → candidate near-dup pairs
-    (a < b, distinct). Bands of 2 signatures keyed as sigA*P + sigB."""
-    sig = minhash_signature_df(docs, id_col)
-    # one pass over sig: bands as an exploded array (a 4-way union of
-    # projections would re-evaluate the signature aggregate per branch)
+def band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature rows → LSH band-bucket rows (doc, band, band_key).
+
+    One pass over sig: bands as an exploded array (a 4-way union of
+    projections would re-evaluate the signature aggregate per branch).
+    Bands of 2 signatures keyed as sigA*P + sigB."""
     band_arr = F.array(
         *[
             F.struct(
@@ -110,11 +110,17 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for bidx in range(N_BANDS)
         ]
     )
-    bt = (
+    return (
         sig.select(F.col(id_col).alias("doc"), F.explode(band_arr).alias("_b"))
         .select("doc", F.col("_b")["band"].alias("band"), F.col("_b")["band_key"].alias("band_key"))
         .filter(F.col("band_key").isNotNull())
     )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any (band, band-key) bucket → candidate near-dup pairs
+    (a < b, distinct)."""
+    bt = band_table(minhash_signature_df(docs, id_col), id_col)
     a = bt.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b = bt.select(F.col("doc").alias("doc_b"), "band", "band_key")
     return (
@@ -122,6 +128,79 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Persist the corpus's LSH band-bucket table (doc, band, band_key),
+    parquet PARTITIONED BY band — the text-dedup analog of
+    ``ann.write_ivf_index``. The permutation constants (``MINHASH_AB``)
+    play the immutable-quantizer role: signatures are a deterministic
+    function of text alone, so increments computed later always land in
+    compatible buckets and never invalidate existing ones."""
+    bt = band_table(minhash_signature_df(docs, id_col), id_col)
+    bt.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Add a document increment to the persisted index (same layout)."""
+    bt = band_table(minhash_signature_df(new_docs, id_col), id_col)
+    bt.write.mode("append").partitionBy("band").parquet(path)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup check: new docs vs the PERSISTED corpus index
+    — the daily-crawl-increment shape, where recomputing the corpus's
+    signatures (or self-joining a trillion-row band table) per batch is
+    not an option.
+
+    Returns one row per new doc: (id_col, dup_of, is_dup) where
+    ``dup_of`` = the smallest corpus doc sharing any LSH bucket (NULL →
+    no near-dup in the corpus). Within-batch duplicates are a separate
+    concern — run the batch through ``lsh_candidate_pairs`` /
+    ``connected_components`` first if needed, then append survivors via
+    ``append_to_minhash_index``.
+
+    Plan (``broadcast_new=True``, the increment ≪ corpus case): the NEW
+    side's band table broadcasts, the corpus index is a pure scan-side
+    stream through a broadcast hash join — the trillion-row index is
+    never shuffled, and only matching buckets survive the join. With
+    ``broadcast_new=False`` both sides shuffle on the uniform
+    (band, band_key) key (skew-free) — the path for increment sizes
+    beyond broadcast."""
+    spark = new_docs.sparkSession
+    new_bt = band_table(
+        minhash_signature_df(new_docs, id_col), id_col
+    ).withColumnRenamed("doc", "_new_doc")
+    if broadcast_new:
+        new_bt = F.broadcast(new_bt)
+    corpus_bt = spark.read.parquet(path).withColumnRenamed("doc", "_corpus_doc")
+    hits = (
+        corpus_bt.join(new_bt, ["band", "band_key"])
+        .groupBy("_new_doc")
+        .agg(F.min("_corpus_doc").alias("dup_of"))
+    )
+    # hits is bounded by the increment size — broadcast it back onto the
+    # new batch so the whole operator is shuffle-free on both the corpus
+    # index AND the new docs (the hits aggregation's exchange carries at
+    # most one row per colliding new doc)
+    if broadcast_new:
+        hits = F.broadcast(hits)
+    return (
+        new_docs.select(F.col(id_col))
+        .join(
+            hits.withColumnRenamed("_new_doc", id_col), id_col, "left"
+        )
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
     )
 
 

@@ -3123,6 +3123,58 @@ def q_hilbert_encode_sql() -> str:
     FROM {last}"""
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation — the daily-crawl-increment shape: docs
+    with doc_id >= 400 arrive as a new batch and are near-dup-checked
+    against the PERSISTED LSH index of the existing corpus (doc_id < 400)
+    via write_minhash_index → dedup_against_index. The corpus's
+    signatures are NOT recomputed: the index read is a pure scan-side
+    stream through a broadcast hash join on the new batch's band table
+    (a trillion-row index never shuffles). Every stage is deterministic
+    hash arithmetic, so the oracle reproduces the whole chain."""
+    import shutil
+    import tempfile
+
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    path = tempfile.mkdtemp(prefix="mh_idx_")
+    write_minhash_index(corpus, path)
+    out = dedup_against_index(new, path).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def q_incremental_dedup_sql() -> str:
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        MINHASH_P, N_BANDS, minhash_sigs_sql,
+    )
+
+    sigs = minhash_sigs_sql("text")
+    cols = ", ".join(f"{s} AS sig{j}" for j, s in enumerate(sigs))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, sig{2*b}*{MINHASH_P}+sig{2*b+1} AS band_key "
+        f"FROM sig WHERE sig{2*b} IS NOT NULL"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH sig AS (SELECT doc_id, {cols} FROM documents),
+    bt AS ({bands}),
+    hits AS (
+      SELECT n.doc AS doc_id, MIN(c.doc) AS dup_of
+      FROM bt n JOIN bt c ON n.band = c.band AND n.band_key = c.band_key
+      WHERE n.doc >= 400 AND c.doc < 400
+      GROUP BY n.doc
+    )
+    SELECT d.doc_id, h.dup_of, h.dup_of IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id >= 400"""
+
+
 QUERIES.update(
     {
         "ivf_exhaustive": q_ivf_exhaustive,
@@ -3130,6 +3182,7 @@ QUERIES.update(
         "streaming_upsert_eq": q_streaming_upsert_eq,
         "stratified_sample": q_stratified_sample,
         "hilbert_encode": q_hilbert_encode,
+        "incremental_dedup": q_incremental_dedup,
     }
 )
 ORACLES.update(
@@ -3139,6 +3192,7 @@ ORACLES.update(
         "streaming_upsert_eq": q_streaming_upsert_eq_sql(),
         "stratified_sample": q_stratified_sample_sql(),
         "hilbert_encode": q_hilbert_encode_sql(),
+        "incremental_dedup": q_incremental_dedup_sql(),
     }
 )
 
@@ -3211,6 +3265,7 @@ _DEMOTED = [
     "image_integrity",
     # next-round rotation candidates (not yet driver-recorded)
     "zorder_encode", "train_split", "stratified_sample", "hilbert_encode",
+    "incremental_dedup",
     # long-standing redundant variants (see per-name notes in COVERAGE.md)
     "daily_stats", "json_extract", "minhash_signatures", "lsh_pairs",
     "cube_status", "embedding_neardup", "ivf_ann", "jaccard_pairs",
