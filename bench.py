@@ -57,8 +57,10 @@ def flagship(spark, sf_dir: str):
     )
 
 
-def _median3(xs: list[float]) -> float:
-    return sorted(xs)[len(xs) // 2]
+def _median(xs: list[float]) -> float:
+    import statistics
+
+    return statistics.median(xs)
 
 
 def run_default() -> None:
@@ -101,7 +103,7 @@ def run_default() -> None:
         t0 = time.time()
         _noop_write(flag_df)
         flag_runs.append(time.time() - t0)
-    t_flag = _median3(flag_runs)
+    t_flag = _median(flag_runs)
     times["enrich_flagship"] = steady["enrich_flagship"] = round(t_flag, 3)
     tmin["enrich_flagship"] = round(min(flag_runs), 3)
     tmax["enrich_flagship"] = round(max(flag_runs), 3)
@@ -114,7 +116,7 @@ def run_default() -> None:
             t0 = time.time()
             _noop_write(df)
             cold_runs.append(time.time() - t0)
-        times[name] = round(_median3(cold_runs), 3)
+        times[name] = round(_median(cold_runs), 3)
         tmin[name] = round(min(cold_runs), 3)
         tmax[name] = round(max(cold_runs), 3)
         # steady state: re-execute the last (already-run) plan
@@ -232,11 +234,17 @@ def run_scaling() -> None:
         ]
         # the low-core arm at mult=320 runs ~400 s of measured work alone;
         # under co-tenant load 560 s was killing it silently
-        out = subprocess.run(
+        proc = subprocess.run(
             cmd, capture_output=True, text=True,
             timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "900")),
-        ).stdout.strip().splitlines()[-1]
-        r = json.loads(out)
+        )
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker ({cores} cores) failed rc={proc.returncode}: "
+                f"{proc.stderr.strip()[-500:]}"
+            )
+        r = json.loads(lines[-1])
         n_images = r["n_images"]
         results[cores] = {
             "sec": r["sec"],
@@ -358,10 +366,17 @@ def run_skew() -> None:
             "taskset", "-c", f"0-{int(cores) - 1}",
             sys.executable, __file__, "--skew-worker", cores, str(mult), shape,
         ]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=560
-        ).stdout.strip().splitlines()[-1]
-        results[shape] = json.loads(out)
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "900")),
+        )
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"skew worker ({shape}) failed rc={proc.returncode}: "
+                f"{proc.stderr.strip()[-500:]}"
+            )
+        results[shape] = json.loads(lines[-1])
     rec = {
         "metric": f"hot_cell_skew_slowdown_{cores}_cores",
         "unit": "ratio (hot/uniform wall time; 1.0 = skew-immune)",

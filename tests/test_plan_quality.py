@@ -248,10 +248,11 @@ def test_dated_weather_obs_dim_is_date_pruned(spark):
     def has_date_filter(prune: bool) -> bool:
         df = nearest_station_dated(img, st, obs, prune_obs_dates=prune)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
-        # Catalyst pushes the filter below the rename: the condition
-        # references the pre-rename obs_date attribute
+        # the span bounds may surface as a standalone Filter or be folded
+        # into the broadcast cross-join's condition (Catalyst rewrites
+        # filter-above-crossJoin into a join condition)
         return any(
-            "Filter" in line
+            ("Filter" in line or "Join" in line)
             and (">=" in line and "<=" in line)
             and ("obs_date" in line or "weather_historical_date" in line)
             for line in opt.splitlines()

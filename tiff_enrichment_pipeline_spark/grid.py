@@ -301,13 +301,18 @@ def hilbert_sql_ctes(
     ``h0 AS (...), h1 AS (...), ..., hK AS (SELECT keep_cols, hd AS out)``
     — splice after your base CTE and select from ``h{k}``."""
     n = 2**k
+    # NULL/NaN gate mirroring with_hilbert's Spark-side `ok` guard:
+    # DuckDB GREATEST/LEAST SKIP NULLs (unlike Spark, where they
+    # propagate), so an ungated NULL lon would clamp to a real far-corner
+    # cell instead of staying NULL
+    ok = f"(({lon_expr}+{lat_expr}) IS NOT NULL AND NOT isnan({lon_expr}+{lat_expr}))"
     ix = (
-        f"CAST(GREATEST(LEAST(FLOOR(({lon_expr}+180.0)/360.0*{n}), {n - 1}),"
-        f" 0) AS BIGINT)"
+        f"CASE WHEN {ok} THEN CAST(GREATEST(LEAST("
+        f"FLOOR(({lon_expr}+180.0)/360.0*{n}), {n - 1}), 0) AS BIGINT) END"
     )
     iy = (
-        f"CAST(GREATEST(LEAST(FLOOR(({lat_expr}+90.0)/180.0*{n}), {n - 1}),"
-        f" 0) AS BIGINT)"
+        f"CASE WHEN {ok} THEN CAST(GREATEST(LEAST("
+        f"FLOOR(({lat_expr}+90.0)/180.0*{n}), {n - 1}), 0) AS BIGINT) END"
     )
     parts = [
         f"h0 AS (SELECT {keep_cols}, {ix} AS hx, {iy} AS hy,"

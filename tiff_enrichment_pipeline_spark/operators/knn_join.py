@@ -395,25 +395,36 @@ def nearest_station_dated(
     buckets, forwarded to knn_nearest (exact for any setting).
 
     ``prune_obs_dates``: shrink the observation dimension to the probe's
-    [min, max] capture-date range before broadcasting (one tiny
-    column-pruned aggregate job over the probe's ts column). The obs dim
-    is |stations| × |history days|, but any one corpus spans a fraction of
+    [min, max] capture-date range before broadcasting. The obs dim is
+    |stations| × |history days|, but any one corpus spans a fraction of
     the history — dates outside the probe span can never match the LEFT
     join key, so the filter is exact-preserving while cutting the
     broadcast build side by the temporal-span ratio. At 100× scale this is
     the difference between broadcasting the full station-day history and
-    only the corpus's own epoch."""
+    only the corpus's own epoch. The span is attached LAZILY — a
+    crossJoin with the broadcast 1-row (min, max) aggregate of the
+    probe's ts column, filtered per obs row — so constructing the
+    DataFrame runs NO job and the pruning cost stays inside the query's
+    own execution (an eager .first() here would re-run the whole probe
+    plan at build time and hide work from benchmarks). An empty probe
+    yields NULL bounds → BETWEEN is never true → empty build side, which
+    the LEFT join semantics absorb."""
     nn = knn_nearest(images, stations, lon=lon, lat=lat, res=res, ring=ring)
     obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
     if prune_obs_dates:
         span = images.select(
-            F.min(F.to_date(F.col(ts))).alias("lo"),
-            F.max(F.to_date(F.col(ts))).alias("hi"),
-        ).first()
-        if span["lo"] is not None:
-            obs = obs.filter(
-                F.col("weather_historical_date").between(span["lo"], span["hi"])
+            F.min(F.to_date(F.col(ts))).alias("_span_lo"),
+            F.max(F.to_date(F.col(ts))).alias("_span_hi"),
+        )
+        obs = (
+            obs.crossJoin(F.broadcast(span))
+            .filter(
+                F.col("weather_historical_date").between(
+                    F.col("_span_lo"), F.col("_span_hi")
+                )
             )
+            .drop("_span_lo", "_span_hi")
+        )
     if broadcast_obs:
         obs = F.broadcast(obs)
     return nn.withColumn(

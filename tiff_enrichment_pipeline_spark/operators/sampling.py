@@ -136,11 +136,18 @@ def stratified_sample_sql(
     fractions: dict[str, float],
     default_fraction: float = 0.0,
 ) -> str:
-    """WHERE-clause twin of ``stratified_sample`` for the DuckDB oracle."""
+    """WHERE-clause twin of ``stratified_sample`` for the DuckDB oracle.
+    Stratum values are single-quote-escaped; empty ``fractions`` (legal in
+    the Python API — everything gets ``default_fraction``) emits a plain
+    threshold instead of a zero-arm CASE (which would be a syntax
+    error)."""
     b = sample_bucket_sql(key_expr)
+    default_thr = int(round(default_fraction * _BUCKETS))
+    if not fractions:
+        return f"({b} < {default_thr})"
     cases = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN {int(round(f * _BUCKETS))}"
+        f"WHEN {strata_expr} = '{s.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {int(round(f * _BUCKETS))}"
         for s, f in fractions.items()
     )
-    default_thr = int(round(default_fraction * _BUCKETS))
     return f"({b} < CASE {cases} ELSE {default_thr} END)"

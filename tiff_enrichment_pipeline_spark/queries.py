@@ -2885,7 +2885,7 @@ def q_decode_quarantine_sql() -> str:
     # purely from the corruption rule.
     return f"""{_IMAGES_CTE},
     bands AS (
-      SELECT 'IMG_' || lpad(CAST(image_id // 97 AS VARCHAR), 4, '0') || '_'
+      SELECT 'IMG_' || printf('%04d', image_id // 97) || '_'
                || CAST(b AS VARCHAR) || '.tif' AS image_id,
              image_id // 97 AS capture_no, b AS band
       FROM images, UNNEST([1, 2, 3, 4, 5]) AS t(b)
@@ -2998,7 +2998,7 @@ def q_image_integrity_rel_sql() -> str:
                '' ORDER BY i)) AS hx
       FROM px GROUP BY capture_no, band, fmt
     )
-    SELECT 'IMG_' || lpad(CAST(capture_no AS VARCHAR), 4, '0') || '_'
+    SELECT 'IMG_' || printf('%04d', capture_no) || '_'
              || CAST(band AS VARCHAR) || '.tif' AS image_id,
            fmt,
            sha256(hx) AS payload_sha256,

@@ -415,7 +415,20 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                     "installed); grayscale 16-bit non-interlaced decodes "
                     "stdlib-only"
                 ) from e
-            arr = np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
+            try:
+                img = Image.open(io.BytesIO(payload))
+                if img.mode not in ("I;16", "I", "L"):
+                    # color → luma, matching the stdlib path's grayscale
+                    # contract (a raw RGB array would fail the shape
+                    # check below and misclassify as corrupt)
+                    img = img.convert("L")
+                arr = np.asarray(img, dtype=np.uint16)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                raise NotImplementedError(
+                    f"png profile unsupported by the Pillow fallback: {e}"
+                ) from e
         if arr.shape != (h, w):
             raise ValueError(
                 f"png dimensions {arr.shape} != metadata ({h}, {w})"
@@ -439,10 +452,23 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                     "installed); grayscale baseline sequential decodes "
                     "stdlib-only"
                 ) from e
-            arr = np.asarray(
-                Image.open(io.BytesIO(payload)).convert("I;16"),
-                dtype=np.uint16,
-            )
+            try:
+                # luma via convert('L') — works for gray AND color — then
+                # the same ×257 8→16-bit expansion the stdlib path applies
+                # (a raw-value fallback would differ ~257× downstream)
+                px8 = np.asarray(
+                    Image.open(io.BytesIO(payload)).convert("L"),
+                    dtype=np.uint16,
+                )
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                # Pillow conversion failures are capability gaps, not data
+                # corruption — classify 'unsupported', not 'corrupt'
+                raise NotImplementedError(
+                    f"jpeg profile unsupported by the Pillow fallback: {e}"
+                ) from e
+            arr = px8 * np.uint16(257)
         if arr.shape != (h, w):
             raise ValueError(
                 f"jpeg dimensions {arr.shape} != metadata ({h}, {w})"

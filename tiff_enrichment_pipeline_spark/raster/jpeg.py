@@ -147,6 +147,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # truncate to the live bits: an ever-growing Python int makes
+        # every subsequent shift O(scan size) → O(n²) overall
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -189,6 +192,9 @@ class _BitReader:
             self._fill()
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # keep only unread bits (see _BitWriter.write: unbounded acc
+        # growth turns the decode quadratic in scan size)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def bit(self) -> int:

@@ -504,14 +504,15 @@ def export_geotiff(
                 )
                 name = r.image_id
                 # ids become filenames / tar member names verbatim: a
-                # separator or '..' would write OUTSIDE out_dir (or
-                # collide across rows after a lossy rewrite) — reject
-                # rather than sanitize so distinct ids can never alias
+                # separator, or '..' as a complete path segment, would
+                # write OUTSIDE out_dir (or collide across rows after a
+                # lossy rewrite) — reject rather than sanitize so
+                # distinct ids can never alias. '..' INSIDE a name (e.g.
+                # 'scan..v2') is harmless and allowed.
                 if (
                     "/" in name
                     or "\\" in name
-                    or ".." in name
-                    or name in ("", ".")
+                    or name in ("", ".", "..")
                 ):
                     raise ValueError(
                         f"export_geotiff: image_id {name!r} is not a safe "
