@@ -44,7 +44,10 @@ FAMILIES: dict[str, set[str]] = {
     "sorted_group_first": {"first_line_per_order"},
     "histogram": {"value_histogram"},
     "grouping_forms": {"rollup_status", "cube_status", "grouping_sets_status"},
-    "pivot": {"pivot_status"},
+    # grouping-sets is the superset grouping form (pivot = grouping sets +
+    # conditional agg), so it may represent the pivot family on the
+    # scoreboard after pivot_status earned its own driver row in r4
+    "pivot": {"pivot_status", "grouping_sets_status"},
     "top_k": {"topk_recent", "top_shingles"},
     "ranking_window": {"user_session_rank", "rank_trio"},
     "moving_window": {"running_total", "event_gaps", "sliding_1h"},
@@ -62,6 +65,9 @@ FAMILIES: dict[str, set[str]] = {
     "streaming_window": {"streaming_hourly", "streaming_session"},
     "streaming_join": {"streaming_join"},
     "streaming_upsert": {"streaming_upsert_eq"},
+    "write_clustering": {"zorder_encode", "hilbert_encode"},
+    "sampling_splits": {"train_split", "stratified_sample"},
+    "incremental_dedup": {"incremental_dedup"},
     "raster_pipeline": {"capture_pipeline"},
     "integrity_scan": {"image_integrity", "image_integrity_rel"},
     "decode_quarantine": {"decode_quarantine"},

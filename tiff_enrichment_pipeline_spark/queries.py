@@ -3207,47 +3207,47 @@ ORACLES.update(
 # bench + tests/test_oracle_parity.py re-prove every oracle-paired one on
 # each run. The prefix ROTATES each round (COVERAGE.md §rotation policy) so
 # every oracle-paired query accumulates a driver-green row within ~2
-# rounds; round 4 rotated in the 13 round-3 operators + the 3 new round-4
-# queries, swapping out same-family redundant variants:
-#   pip_concave (pip_landcover keeps J5; concave parity + pytest goldens),
-#   elevation_partitioned (strategy twin of elevation; terrain proves both
-#   strategies), haversine_pairs (within_radius carries J8 distance),
-#   cell_crowding (cell_encode/kring/pyramid keep the cell family),
-#   dms_parse (P5 parser shared with exif_altitude_parse, still green),
-#   rollup_status (grouping_sets_status is the superset form),
-#   topk_recent→top_shingles, user_session_rank→rank_trio,
-#   event_gaps/running_total→sliding_1h (window family),
-#   union_glob (union exercised inside capture_assembly),
-#   simhash/dedup_components/phash_neardup (the three dedup CLUSTER chains
-#   subsume pair + CC stages), ivf_ann_pruned→ivf_exhaustive (value oracle
-#   for the same persisted read path), image_integrity→image_integrity_rel
-#   (relational slice gains a hash row; PSNR remainder stays pytest-pinned).
+# rounds; round 5 completed the schedule (VERDICT r4 #1): the last 5
+# parity-only queries (zorder_encode, train_split, stratified_sample,
+# hilbert_encode, incremental_dedup) rotated in, swapping out 5 rows that
+# earned their driver-green in r4 and whose §2 family stays covered:
+#   pivot_status (grouping_sets_status is the superset grouping form),
+#   streaming_session (streaming_hourly keeps the streaming-window family;
+#   session/join alternate per VERDICT r4), resume_antijoin
+#   (exists_semijoin keeps semi/anti), quality_score (langid keeps text
+#   analysis), asof_weather (knn_weather_dated keeps spatio-temporal).
+# After this rotation EVERY oracle-paired query in the registry has
+# accumulated a driver-green CORRECTNESS row in some round — the prefix is
+# now pure maintenance. Round-4 rotation notes preserved in COVERAGE.md.
 
 DRIVER_CAP = 50
 
 _DRIVER_PRIORITY = [
     # geo/spatial core (the north_star surface)
     "cell_encode", "pip_landcover", "knn_weather", "knn_weather_dated",
-    "asof_weather", "elevation", "bbox_filter", "cell_kring",
+    "elevation", "bbox_filter", "cell_kring",
     "georef_transform", "enrich_full",
     # round-3 geo/raster operators (rotated in, VERDICT r3 #1)
     "terrain", "zonal_elevation", "within_radius", "range_band",
     "cell_pyramid",
+    # round-5 rotation: write-clustering cell indexes (VERDICT r4 #1)
+    "zorder_encode", "hilbert_encode",
     # parsing / generated columns
     "filename_classify", "exif_altitude_parse", "generated_columns",
     # joins / aggregation / grouping forms
     "capture_assembly", "status_summary", "hourly_api_stats", "group_stats",
     "first_line_per_order", "value_histogram", "grouping_sets_status",
-    "pivot_status",
     # windows / semi-anti / json / percentiles
     "rank_trio", "top_shingles", "sliding_1h", "exists_semijoin",
-    "resume_antijoin", "to_json_row", "percentiles_udaf",
+    "to_json_row", "percentiles_udaf",
     # dedup / text / ANN (training-data pipeline stack)
     "dedup_checksum", "lsh_dedup_clusters", "corpus_curation", "langid",
-    "quality_score", "phash_dedup_clusters", "embedding_dedup_clusters",
+    "phash_dedup_clusters", "embedding_dedup_clusters",
     "ann_topk", "ivf_exhaustive",
+    # round-5 rotation: sampling/splits + incremental index dedup
+    "train_split", "stratified_sample", "incremental_dedup",
     # streaming equivalence
-    "streaming_hourly", "streaming_session", "streaming_join",
+    "streaming_hourly", "streaming_join",
     "streaming_upsert_eq",
     # raster lifecycle (capture_pipeline/multimodal_features rows-only by
     # design — pixel ops aren't SQL-expressible; values pinned in pytest)
@@ -3256,6 +3256,10 @@ _DRIVER_PRIORITY = [
 ]
 
 _DEMOTED = [
+    # rotated out round 5 — all five earned driver-green rows in r4; their
+    # §2 family keeps an in-cap representative (see prefix comment)
+    "pivot_status", "streaming_session", "resume_antijoin",
+    "quality_score", "asof_weather",
     # rotated out round 4 (same-family coverage retained in-cap; all
     # oracle-paired ones stay value-proven by tests/test_oracle_parity.py)
     "pip_concave", "elevation_partitioned", "haversine_pairs",
@@ -3263,9 +3267,6 @@ _DEMOTED = [
     "user_session_rank", "running_total", "event_gaps", "union_glob",
     "simhash", "dedup_components", "phash_neardup", "ivf_ann_pruned",
     "image_integrity",
-    # next-round rotation candidates (not yet driver-recorded)
-    "zorder_encode", "train_split", "stratified_sample", "hilbert_encode",
-    "incremental_dedup",
     # long-standing redundant variants (see per-name notes in COVERAGE.md)
     "daily_stats", "json_extract", "minhash_signatures", "lsh_pairs",
     "cube_status", "embedding_neardup", "ivf_ann", "jaccard_pairs",
