@@ -667,7 +667,7 @@ def test_hilbert_write_clusters_files_at_least_as_tight_as_zorder(
 
     box = (5.0, 51.5, 5.5, 52.0)
 
-    def files_intersecting(path: str) -> tuple[int, int]:
+    def files_intersecting(path: str, box=box) -> tuple[int, int]:
         hits, total = 0, 0
         for f in Path(path).glob("*.parquet"):
             md = pq.ParquetFile(str(f)).metadata
@@ -696,8 +696,21 @@ def test_hilbert_write_clusters_files_at_least_as_tight_as_zorder(
     h_hits, h_total = files_intersecting(hilb)
     z_hits, z_total = files_intersecting(zord)
     assert h_total > 4 and z_total > 4
+    # absolute tightness bound only: hilbert-vs-morton ordering on ONE
+    # arbitrary bbox is not a guaranteed property (ADVICE r4 — a fixture
+    # or partition-count change could flip h<=z without any regression),
+    # so assert each curve clusters, and compare on average below
     assert h_hits <= h_total // 2, (h_hits, h_total)
-    assert h_hits <= z_hits, (h_hits, z_hits)
+    assert z_hits <= z_total // 2, (z_hits, z_total)
+    # average-over-bboxes comparison (with one file of slack): Hilbert's
+    # no-discontinuity property shows up in the MEAN, not on every box
+    boxes = [
+        (4.0, 51.0, 4.5, 51.5), (5.0, 51.5, 5.5, 52.0),
+        (6.0, 52.0, 6.5, 52.5), (4.5, 52.5, 5.0, 53.0),
+    ]
+    h_sum = sum(files_intersecting(hilb, b)[0] for b in boxes)
+    z_sum = sum(files_intersecting(zord, b)[0] for b in boxes)
+    assert h_sum <= z_sum + 1, (h_sum, z_sum)
     # identical logical content regardless of clustering strategy
     a = spark.read.parquet(hilb).select("image_id").orderBy("image_id")
     b = spark.read.parquet(zord).select("image_id").orderBy("image_id")

@@ -170,10 +170,12 @@ def test_brute_force_topk_guards_big_corpus(spark):
         brute_force_topk(df, df, k=3, max_corpus=10)
     # and still works when the cap is explicitly raised
     assert brute_force_topk(df, df, k=1, max_corpus=20).count() == 20
-    # skip_guard drops the guard's count() job for pre-validated corpora
-    # (same values, no ValueError even under a tiny cap)
-    got = brute_force_topk(df, df, k=1, max_corpus=10, skip_guard=True)
+    # known_corpus_size drops the guard's count() job for pre-counted
+    # corpora but still goes through the max_corpus check (ADVICE r4)
+    got = brute_force_topk(df, df, k=1, max_corpus=25, known_corpus_size=20)
     assert got.count() == 20
+    with pytest.raises(ValueError, match="ivf_probe_pruned"):
+        brute_force_topk(df, df, k=1, max_corpus=10, known_corpus_size=20)
 
 
 def test_lsh_topk_recall(spark):

@@ -233,6 +233,16 @@ def with_hilbert(
     shape as the SQL twin's chained CTEs (``hilbert_sql_ctes``). Stays
     100% JVM-side."""
     n = 2**k
+    # temp state columns are dropped on exit; refuse inputs that would be
+    # silently clobbered (reachable via write_images(cluster='hilbert') on
+    # arbitrary user tables — ADVICE r4)
+    reserved = {"_hx", "_hy", "_hd", "_rx", "_ry", "_hx_n", "_hy_n"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_hilbert reserves temp column names {sorted(reserved)}; "
+            f"input already has {sorted(clash)} — rename them first"
+        )
     ix, iy = _hilbert_lattice(F.col(lon), F.col(lat), k)
     # NaN coords: floor(NaN) is NaN-poisoned via least/greatest on some
     # paths — force NULL so the propagation invariant holds

@@ -44,7 +44,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     max_corpus: int = 1_000_000,
-    skip_guard: bool = False,
+    known_corpus_size: int | None = None,
 ) -> DataFrame:
     """query rows + (rank, neighbor_id, cosine) — exact cosine top-k.
 
@@ -55,13 +55,19 @@ def brute_force_topk(
     corpus, valid only for broadcastable corpora. ``max_corpus`` guards
     against misuse — beyond it the corpus-proportional collect would OOM
     the driver, so we raise and point at the scale paths instead.
-    ``skip_guard=True`` drops the guard's count() job for callers that
-    already validated (or cached) the corpus — e.g. a loop re-querying the
-    same pre-counted corpus.
+    Callers that already counted the corpus (e.g. a loop re-querying the
+    same one) pass ``known_corpus_size`` to skip the guard's count() job —
+    the declared size still goes through the max_corpus check, so the
+    guard cannot be silently disabled (ADVICE r4: the old bare
+    ``skip_guard`` flag allowed an unbounded driver collect).
     """
     # limit(max+1).count() bounds the guard's own scan: it never reads
     # past the threshold, instead of paying a full corpus count per call
-    n_corpus = 0 if skip_guard else corpus.limit(max_corpus + 1).count()
+    n_corpus = (
+        known_corpus_size
+        if known_corpus_size is not None
+        else corpus.limit(max_corpus + 1).count()
+    )
     if n_corpus > max_corpus:
         raise ValueError(
             f"brute_force_topk: corpus has > max_corpus="

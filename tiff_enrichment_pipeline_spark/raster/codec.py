@@ -423,6 +423,12 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                     # check below and misclassify as corrupt)
                     img = img.convert("L")
                 arr = np.asarray(img, dtype=np.uint16)
+                if img.mode == "L":
+                    # same ×257 8→16-bit expansion as the jpeg fallback:
+                    # the same scene stored 8-bit png vs jpeg must land in
+                    # the same u16 range (ADVICE r4); true 16-bit modes
+                    # (I;16 / I) keep raw values
+                    arr = arr * np.uint16(257)
             except NotImplementedError:
                 raise
             except Exception as e:
@@ -488,7 +494,14 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                     "non-baseline tiff decode requires Pillow (not installed); "
                     "baseline grayscale strips (none/deflate) decode stdlib-only"
                 ) from e
-            arr = np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint16)
+            img = Image.open(io.BytesIO(payload))
+            if img.mode not in ("I;16", "I", "L"):
+                img = img.convert("L")
+            arr = np.asarray(img, dtype=np.uint16)
+            if img.mode == "L":
+                # ×257 8→16-bit expansion, same policy as png/jpeg
+                # fallbacks (ADVICE r4); true 16-bit modes keep raw values
+                arr = arr * np.uint16(257)
         if arr.shape != (h, w):
             raise ValueError(
                 f"tiff dimensions {arr.shape} != metadata ({h}, {w})"
