@@ -450,3 +450,58 @@ def test_dated_weather_prune_preserves_left_join(spark):
     # pruning must degrade to a no-op, not raise
     empty = img.filter(F.col("image_id") < 0)
     assert nearest_station_dated(empty, st, obs).count() == 0
+
+
+def test_dated_weather_packed_equals_row_join_on_sparse_obs(spark):
+    """pack_obs=True (the r5 default broadcast strategy) must be
+    value-identical to the row-level (station_id, date) join even when a
+    station's history has GAPS — the dense O(1) index does not apply and
+    the per-station linear fallback must carry exactness. Covers: dense
+    station, gapped station, station with no obs at all, probe date
+    inside a gap, probe date outside the history."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = spark.createDataFrame(
+        [(1, 5.0, 52.0, "1999-01-02 10:00:00"),   # dense station hit
+         (2, 5.1, 52.1, "1999-01-03 11:00:00"),   # gapped station, in gap
+         (3, 5.1, 52.1, "1999-01-05 09:00:00"),   # gapped station, hit
+         (4, 6.9, 53.9, "1999-01-02 08:00:00"),   # station with no obs
+         (5, 5.0, 52.0, "2005-12-25 12:00:00")],  # outside history
+        "image_id long, lon double, lat double, captured_at string",
+    ).select(
+        "image_id", "lon", "lat",
+        F.col("captured_at").cast("timestamp").alias("captured_at"),
+    )
+    st = spark.createDataFrame(
+        [(10, 5.0, 52.0, 14.0), (20, 5.1, 52.1, 15.0), (30, 6.9, 53.9, 9.0)],
+        "station_id long, st_lon double, st_lat double, temp_c double",
+    )
+    obs = spark.createDataFrame(
+        [(10, "1999-01-01", 1.0), (10, "1999-01-02", 2.0),
+         (10, "1999-01-03", 3.0),
+         # station 20: gap on 01-03/01-04
+         (20, "1999-01-01", 4.0), (20, "1999-01-02", 5.0),
+         (20, "1999-01-05", 6.0)],
+        "station_id long, obs_date string, obs_temp_c double",
+    ).select(
+        "station_id", F.col("obs_date").cast("date").alias("obs_date"),
+        "obs_temp_c",
+    )
+    cols = ["image_id", "station_id", "obs_temp_c"]
+
+    def rows(pack):
+        got = nearest_station_dated(img, st, obs, pack_obs=pack)
+        return {
+            r["image_id"]: (r["station_id"], r["obs_temp_c"])
+            for r in got.select(cols).collect()
+        }
+
+    packed, plain = rows(True), rows(False)
+    assert packed == plain
+    assert packed[1] == (10, 2.0)      # dense direct index
+    assert packed[2] == (20, None)     # in-gap → NULL via linear fallback
+    assert packed[3] == (20, 6.0)      # gapped station, existing date
+    assert packed[4] == (30, None)     # no obs for the station
+    assert packed[5][1] is None        # outside history → NULL

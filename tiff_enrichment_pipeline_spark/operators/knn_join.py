@@ -378,6 +378,7 @@ def nearest_station_dated(
     ts: str = "captured_at",
     broadcast_obs: bool = True,
     prune_obs_dates: bool = True,
+    pack_obs: bool = True,
     res: int = 10,
     ring: int = 2,
 ) -> DataFrame:
@@ -408,7 +409,34 @@ def nearest_station_dated(
     own execution (an eager .first() here would re-run the whole probe
     plan at build time and hide work from benchmarks). An empty probe
     yields NULL bounds → BETWEEN is never true → empty build side, which
-    the LEFT join semantics absorb."""
+    the LEFT join semantics absorb.
+
+    ``pack_obs`` (broadcast path only): aggregate the observation rows
+    into ONE row per station carrying a date-sorted array of payload
+    structs, broadcast that, and look the capture date up with an O(1)
+    array index. The r4 row-level broadcast keyed (station_id, date)
+    built a |stations|×|days| hash relation (2.4M entries at sf0.1) —
+    per-row UnsafeRow overhead plus the hash build dominated the query;
+    packing shrinks the relation to |stations| keys for the same bytes
+    of payload and measured ~1.8× faster end-to-end (BENCH.md r5).
+    Two pruning levers VERDICT r4 suggested were measured and declined
+    for this fixture: winning-station semi-join (979/1000 stations win
+    at sf0.1 — no cut, and it costs an extra probe pass) and the date
+    span covers 94% of obs days (prune kept — it is the lever that
+    matters when a corpus spans a narrow epoch, it just can't help this
+    fixture). Exactness: stations whose dates are dense (one row per
+    consecutive day — the station-day history contract, reference PK
+    semantics create-tables.sql:129-132) index directly; sparse
+    stations fall back to an exact linear probe of their own array, so
+    gaps are handled. The one divergence from the row-level join is
+    duplicate (station_id, date) keys: the plain join would emit one
+    output row per duplicate, the packed lookup emits the first — a
+    violation of the reference's PK either way. ``pack_obs`` is ignored
+    on the shuffle path (``broadcast_obs=False``): a station-keyed
+    shuffle would co-locate ALL of a hot station's probes on one task,
+    while the (station_id, date) composite key keeps the shuffle
+    skew-free — at planetary dims the composite key is the right
+    partitioning."""
     nn = knn_nearest(images, stations, lon=lon, lat=lat, res=res, ring=ring)
     obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
     if prune_obs_dates:
@@ -425,11 +453,53 @@ def nearest_station_dated(
             )
             .drop("_span_lo", "_span_hi")
         )
+    probe = nn.withColumn("weather_historical_date", F.to_date(F.col(ts)))
+    if broadcast_obs and pack_obs:
+        payload = [
+            c
+            for c in obs.columns
+            if c not in ("station_id", "weather_historical_date")
+        ]
+        packed = obs.groupBy("station_id").agg(
+            F.min("weather_historical_date").alias("_obs_lo"),
+            F.max("weather_historical_date").alias("_obs_hi"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("weather_historical_date").alias("d"),
+                        *[F.col(c) for c in payload],
+                    )
+                )
+            ).alias("_obs_entries"),
+        )
+        packed = packed.withColumn(
+            "_obs_dense",
+            F.size("_obs_entries")
+            == F.datediff("_obs_hi", "_obs_lo") + F.lit(1),
+        )
+        out = probe.join(F.broadcast(packed), "station_id", "left")
+        whd = F.col("weather_historical_date")
+        # F.get returns NULL out-of-bounds (never throws under ANSI),
+        # so out-of-span dates resolve to NULL payloads exactly like
+        # the row-level LEFT join
+        hit = F.when(
+            F.col("_obs_dense"),
+            F.get(F.col("_obs_entries"), F.datediff(whd, F.col("_obs_lo"))),
+        ).otherwise(
+            F.get(
+                F.filter(F.col("_obs_entries"), lambda e: e["d"] == whd),
+                F.lit(0),
+            )
+        )
+        out = out.withColumn("_obs_hit", hit)
+        for c in payload:
+            out = out.withColumn(c, F.col("_obs_hit")[c])
+        return out.drop(
+            "_obs_lo", "_obs_hi", "_obs_entries", "_obs_dense", "_obs_hit"
+        )
     if broadcast_obs:
         obs = F.broadcast(obs)
-    return nn.withColumn(
-        "weather_historical_date", F.to_date(F.col(ts))
-    ).join(obs, ["station_id", "weather_historical_date"], "left")
+    return probe.join(obs, ["station_id", "weather_historical_date"], "left")
 
 
 def _knn_arrow(
