@@ -71,12 +71,12 @@ FAMILIES: dict[str, set[str]] = {
     "raster_pipeline": {"capture_pipeline"},
     "integrity_scan": {"image_integrity", "image_integrity_rel"},
     "decode_quarantine": {"decode_quarantine"},
-    "multimodal": {"multimodal_features"},
+    "multimodal": {"multimodal_features", "multimodal_features_rel"},
 }
 
 # in-cap entries allowed to have no oracle (pixel ops are not
 # SQL-expressible; values golden-pinned in pytest instead)
-ROWS_ONLY_IN_CAP = {"capture_pipeline", "multimodal_features"}
+ROWS_ONLY_IN_CAP = {"capture_pipeline"}
 
 
 def test_every_family_has_an_in_cap_representative():
@@ -120,5 +120,5 @@ def test_demoted_entries_stay_registered_and_paired():
     # the no-oracle-by-design set is the only allowed unpaired tail
     assert {n for n in past_cap if n not in ORACLES} <= {
         "percentiles_approx", "distinct_sketch", "lsh_ann", "ivf_ann",
-        "ivf_ann_pruned", "image_integrity",
+        "ivf_ann_pruned", "image_integrity", "multimodal_features",
     }

@@ -3007,6 +3007,79 @@ def q_image_integrity_rel_sql() -> str:
     FROM hexed"""
 
 
+def q_multimodal_features_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational slice of the multimodal feature extraction under a VALUE
+    oracle (VERDICT r4 #7): resize-free per-band pixel stats over the
+    arithmetically-encoded payloads (raw-u16, lossy-q12), decoded through
+    the REAL binary-column plumbing (band_pixel_stats: one Arrow
+    mapInPandas stage) while DuckDB reconstructs the same pixels in SQL.
+    The UDF emits integer-exact aggregates; mean/std are derived HERE in
+    Catalyst with the exact IEEE op sequence the oracle mirrors:
+    int64→double conversion, one division, one correctly-rounded sqrt —
+    bit-deterministic in both engines, so no rounding is needed. The
+    resize/edge-energy remainder stays in the rows-only
+    ``multimodal_features`` (pixel kernels, not SQL-expressible)."""
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        band_pixel_stats,
+    )
+
+    bands = band_rows_from_orders(spark, sf_dir).filter(
+        F.col("fmt").isin("raw-u16", "lossy-q12")
+    )
+    st = band_pixel_stats(bands)
+    n = F.col("px_n").cast("double")
+    var_num = (F.col("px_n") * F.col("px_sumsq")
+               - F.col("px_sum") * F.col("px_sum"))
+    return st.select(
+        "image_id",
+        "fmt",
+        "px_min",
+        "px_max",
+        (F.col("px_sum").cast("double") / n).alias("px_mean"),
+        (F.sqrt(var_num.cast("double")) / n).alias("px_std"),
+    )
+
+
+def q_multimodal_features_rel_sql() -> str:
+    # same pixel reconstruction as q_image_integrity_rel_sql; aggregates
+    # stay integer until the final projection, whose float ops mirror the
+    # Spark side exactly (cast→divide, cast→sqrt→divide)
+    return f"""{_IMAGES_CTE},
+    fb AS (
+      SELECT image_id // 97 AS capture_no, b AS band,
+             CASE WHEN ((image_id // 97)*5 + b) % 11 = 3
+                  THEN 'lossy-q12' ELSE 'raw-u16' END AS fmt
+      FROM images, UNNEST([1, 2, 3, 4, 5]) AS t(b)
+      WHERE image_id % 97 = 0
+        AND ((image_id // 97)*5 + b) % 11 NOT IN (5, 7)
+    ),
+    px AS (
+      SELECT capture_no, band, fmt,
+             CASE WHEN fmt = 'lossy-q12'
+                  THEN (((capture_no*7919 + band*104729 + (i%64)*31 + (i//64)*17) % 60000) // 16) * 16
+                  ELSE (capture_no*7919 + band*104729 + (i%64)*31 + (i//64)*17) % 60000
+             END AS v
+      FROM fb, range(4096) r(i)
+    ),
+    agg AS (
+      SELECT capture_no, band, fmt,
+             MIN(v) AS px_min, MAX(v) AS px_max,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v*v) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY capture_no, band, fmt
+    )
+    SELECT 'IMG_' || printf('%04d', capture_no) || '_'
+             || CAST(band AS VARCHAR) || '.tif' AS image_id,
+           fmt,
+           CAST(px_min AS INTEGER) AS px_min,
+           CAST(px_max AS INTEGER) AS px_max,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS px_mean,
+           SQRT(CAST(n*ss - s*s AS DOUBLE)) / CAST(n AS DOUBLE) AS px_std
+    FROM agg"""
+
+
 def q_streaming_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-idempotent streaming MERGE sink under a VALUE oracle
     (VERDICT r3 #7, S11): the watcher's upsert sink runs TWICE over the
@@ -3183,6 +3256,7 @@ QUERIES.update(
         "stratified_sample": q_stratified_sample,
         "hilbert_encode": q_hilbert_encode,
         "incremental_dedup": q_incremental_dedup,
+        "multimodal_features_rel": q_multimodal_features_rel,
     }
 )
 ORACLES.update(
@@ -3193,6 +3267,7 @@ ORACLES.update(
         "stratified_sample": q_stratified_sample_sql(),
         "hilbert_encode": q_hilbert_encode_sql(),
         "incremental_dedup": q_incremental_dedup_sql(),
+        "multimodal_features_rel": q_multimodal_features_rel_sql(),
     }
 )
 
@@ -3249,9 +3324,10 @@ _DRIVER_PRIORITY = [
     # streaming equivalence
     "streaming_hourly", "streaming_join",
     "streaming_upsert_eq",
-    # raster lifecycle (capture_pipeline/multimodal_features rows-only by
-    # design — pixel ops aren't SQL-expressible; values pinned in pytest)
-    "capture_pipeline", "multimodal_features", "image_integrity_rel",
+    # raster lifecycle (capture_pipeline rows-only by design — pixel
+    # kernels aren't SQL-expressible; values pinned in pytest. The
+    # SQL-expressible multimodal slice is multimodal_features_rel, r5)
+    "capture_pipeline", "multimodal_features_rel", "image_integrity_rel",
     "decode_quarantine",
 ]
 
@@ -3260,6 +3336,9 @@ _DEMOTED = [
     # §2 family keeps an in-cap representative (see prefix comment)
     "pivot_status", "streaming_session", "resume_antijoin",
     "quality_score", "asof_weather",
+    # rows-only variant superseded in-cap by multimodal_features_rel (r5);
+    # resize/edge-energy pixel kernels stay pytest-pinned
+    "multimodal_features",
     # rotated out round 4 (same-family coverage retained in-cap; all
     # oracle-paired ones stay value-proven by tests/test_oracle_parity.py)
     "pip_concave", "elevation_partitioned", "haversine_pairs",

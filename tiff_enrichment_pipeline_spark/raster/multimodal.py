@@ -197,6 +197,56 @@ def resize_and_extract(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+BAND_STATS_SCHEMA = (
+    "image_id string, fmt string, px_min int, px_max int, "
+    "px_sum long, px_sumsq long, px_n long"
+)
+
+
+def band_pixel_stats(images: DataFrame) -> DataFrame:
+    """Decode each band payload and emit INTEGER-EXACT pixel aggregates
+    (min/max/sum/sum-of-squares/count) — the resize-free feature subset
+    that IS SQL-expressible (VERDICT r4 #7): for arithmetically-encoded
+    payloads DuckDB reconstructs the pixels and reproduces every column
+    bit-for-bit, which upgrades a multimodal slice from a rows-only
+    driver check to a value oracle. Derived float features (mean, std)
+    are computed OUTSIDE the UDF from these integers so both engines run
+    the identical IEEE op sequence (see q_multimodal_features_rel).
+    Bounds: sum ≤ 4096·60000 and n·sumsq − sum² ≤ 6.1e16, both inside
+    int64. One Arrow map stage, zero shuffles, payload column pruned
+    away downstream."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mins, maxs, sums, sumsqs, ns = [], [], [], [], []
+            for payload, w, h, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                a = codec.decode(
+                    bytes(payload), int(w), int(h), str(fmt)
+                ).astype(np.int64)
+                mins.append(int(a.min()))
+                maxs.append(int(a.max()))
+                sums.append(int(a.sum()))
+                sumsqs.append(int((a * a).sum()))
+                ns.append(int(a.size))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "px_min": np.array(mins, dtype=np.int32),
+                    "px_max": np.array(maxs, dtype=np.int32),
+                    "px_sum": np.array(sums, dtype=np.int64),
+                    "px_sumsq": np.array(sumsqs, dtype=np.int64),
+                    "px_n": np.array(ns, dtype=np.int64),
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, BAND_STATS_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "video_id long, frame_idx int, bytes binary, w int, h int, fmt string"
 
 
