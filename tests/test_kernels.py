@@ -381,8 +381,9 @@ def test_jpeg_baseline_roundtrip_and_gates():
     nat = jpeg._quant_table(92)
     assert np.array_equal(stored, nat[jpeg._ZIGZAG].astype(np.uint8))
 
-    # gates: progressive SOF2 and 3-component SOF0 refuse with the
-    # stdlib-path NotImplementedError (decode() adds the Pillow gate)
+    # gates: progressive SOF2 refuses with the stdlib-path
+    # NotImplementedError (decode() adds the Pillow gate); 3-component
+    # 4:4:4 now decodes stdlib-side (test below)
     prog = bytearray(enc)
     j = prog.find(b"\xff\xc0")
     prog[j + 1] = 0xC2
@@ -404,3 +405,50 @@ def test_jpeg_baseline_roundtrip_and_gates():
     with pytest.raises(Exception) as ei:
         codec.decode(enc[:40], 96, 64, "jpeg")
     assert not isinstance(ei.value, NotImplementedError)
+
+
+def test_jpeg_color_444_decode(tmp_path):
+    """YCbCr 4:4:4 baseline decode (VERDICT r4 stretch #8): a color JPEG
+    produced by the independent test encoder decodes stdlib-side to
+    ITU-R 601 luma at ≥40 dB vs the original's true luma on smooth RGB;
+    subsampled profiles stay gated."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    h, w = 96, 112
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (127 + 80 * np.sin(xx / 19.0) + 40 * np.cos(yy / 13.0)).clip(0, 255)
+    g = (127 + 60 * np.cos(xx / 23.0) + 60 * np.sin(yy / 17.0)).clip(0, 255)
+    b = (127 + 50 * np.sin((xx + yy) / 29.0)).clip(0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    payload = jpeg.encode_jpeg_color(rgb, quality=92)
+    dec = jpeg.decode_jpeg_gray(payload)
+    assert dec.shape == (h, w) and dec.dtype == np.uint16
+
+    rf, gf, bf = (rgb[..., i].astype(np.float64) for i in range(3))
+    luma_true = (
+        np.clip(np.round(0.299 * rf + 0.587 * gf + 0.114 * bf), 0, 255) * 257
+    )
+    mse = float(np.mean((dec.astype(np.float64) - luma_true) ** 2))
+    psnr = 10 * np.log10(65535.0**2 / mse)
+    assert psnr >= 40.0, psnr
+
+    # codec.decode dispatch handles the color payload too
+    got = codec.decode(payload, w, h, "jpeg")
+    assert np.array_equal(got, dec)
+
+    # structural checks: two DQTs (luma + chroma), four DHTs, Ns=3 SOS
+    assert payload.count(b"\xff\xdb") == 2
+    assert payload.count(b"\xff\xc4") == 4
+
+    # subsampled (4:2:0) stays gated: patch the SOF sampling byte of Y
+    sub = bytearray(payload)
+    j = sub.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nf(1), then (id, samp, tq)*3
+    sub[j + 11] = 0x22  # Y component sampling 2x2 → 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        jpeg.decode_jpeg_gray(bytes(sub))
+
+    # non-multiple-of-8 color dims
+    odd = rgb[:61, :83]
+    assert jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(odd)).shape == (61, 83)

@@ -444,9 +444,10 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
 
         try:
-            arr = _jpeg.decode_jpeg_gray(payload)  # stdlib baseline profile
+            # stdlib baseline: grayscale AND YCbCr 4:4:4 (luma out)
+            arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # non-baseline profile (color, progressive, subsampled,
+            # non-baseline profile (progressive, subsampled 4:2:0/4:2:2,
             # 12-bit, restarts) → optional Pillow, same policy as tiff/png
             try:
                 import io

@@ -1,12 +1,16 @@
-"""Stdlib baseline JPEG codec (grayscale, sequential DCT, 8-bit).
+"""Stdlib baseline JPEG codec (grayscale + YCbCr 4:4:4, sequential, 8-bit).
 
 Closes the one remaining common foreign format the engine could not decode
 without Pillow (VERDICT r3 stretch #9): single-component baseline JFIF now
 encodes and decodes with numpy + stdlib only — huffman entropy coding with
 the ITU-T81 Annex K standard tables, orthonormal 8×8 DCT as a matrix
-product, standard luminance quantization scaled by quality. Color,
-progressive (SOF2), 12-bit and subsampled profiles stay behind the optional
-Pillow gate in ``codec.decode`` — same policy as tiled/LZW TIFF.
+product, standard luminance quantization scaled by quality. Round 5
+(VERDICT r4 stretch #8) extends decode to THREE-component interleaved
+baseline without subsampling (YCbCr 4:4:4 — the most common remaining
+foreign profile), converting to ITU-R 601 luma on output since the
+engine's band contract is grayscale u16. Progressive (SOF2), 12-bit,
+subsampled (4:2:0/4:2:2) and restart-interval profiles stay behind the
+optional Pillow gate in ``codec.decode`` — same policy as tiled/LZW TIFF.
 
 Pixel convention: the engine's bands are uint16; JPEG baseline is 8-bit.
 ``encode_jpeg_gray`` stores the high byte (v >> 8); ``decode_jpeg_gray``
@@ -76,6 +80,51 @@ _AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# K.2 chrominance quantization (natural row-major order)
+_Q_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# K.4 chrominance DC
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+
+# K.6 chrominance AC
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # zigzag scan order: _ZIGZAG[k] = natural index of the k-th zigzag element
 _ZIGZAG = np.array(
     [
@@ -101,11 +150,11 @@ for _k in range(8):
         )
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """IJG quality scaling of the Annex K luminance table."""
+def _quant_table(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (luminance by default)."""
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    tbl = (_Q_LUM * scale + 50) // 100
+    tbl = ((_Q_LUM if base is None else base) * scale + 50) // 100
     return np.clip(tbl, 1, 255).astype(np.int32)
 
 
@@ -217,6 +266,51 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    q2d: np.ndarray,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Forward-DCT + quantize + entropy-code ONE centered 8×8 block;
+    returns the new DC predictor."""
+    coef = _D @ block @ _D.T
+    qc = np.round(coef / q2d).astype(np.int64)
+    zz = qc.flatten()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    cat, low = _magnitude(diff)
+    code, length = dc_enc[cat]
+    writer.write(code, length)
+    if cat:
+        writer.write(low, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]  # ZRL
+            writer.write(zc, zl)
+            run -= 16
+        cat, low = _magnitude(v)
+        code, length = ac_enc[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(low, cat)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]  # EOB
+        writer.write(ec, el)
+    return new_dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def encode_jpeg_gray(band: np.ndarray, quality: int = 92) -> bytes:
     """uint16 (h, w) band -> baseline grayscale JFIF bytes (high byte)."""
     h, w = band.shape
@@ -231,64 +325,151 @@ def encode_jpeg_gray(band: np.ndarray, quality: int = 92) -> bytes:
     prev_dc = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
-            block = pad[by : by + 8, bx : bx + 8]
-            coef = _D @ block @ _D.T
-            qc = np.round(coef / q2d).astype(np.int64)
-            zz = qc.flatten()[_ZIGZAG]
-            # DC differential
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat, low = _magnitude(diff)
-            code, length = _DC_ENC[cat]
-            writer.write(code, length)
-            if cat:
-                writer.write(low, cat)
-            # AC run-length
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_ENC[0xF0]  # ZRL
-                    writer.write(zc, zl)
-                    run -= 16
-                cat, low = _magnitude(v)
-                code, length = _AC_ENC[(run << 4) | cat]
-                writer.write(code, length)
-                writer.write(low, cat)
-                run = 0
-            if run:
-                ec, el = _AC_ENC[0x00]  # EOB
-                writer.write(ec, el)
+            prev_dc = _encode_block(
+                writer, pad[by : by + 8, bx : bx + 8], q2d,
+                _DC_ENC, _AC_ENC, prev_dc,
+            )
     scan = writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     # DQT stores the table in ZIGZAG order per the spec (B.2.4.1)
-    out += seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qtbl[_ZIGZAG]))
-    out += seg(  # SOF0: 8-bit, 1 component, no subsampling
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qtbl[_ZIGZAG]))
+    out += _seg(  # SOF0: 8-bit, 1 component, no subsampling
         0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     )
-    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JFIF -> uint16 (h, w) (8-bit value × 257).
+_CHR_DC_ENC = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+_CHR_AC_ENC = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
 
-    Raises NotImplementedError for profiles outside baseline sequential
-    single-component 8-bit (progressive, color, subsampled, 12-bit,
-    arithmetic coding, restart intervals) — the ``codec.decode`` dispatch
-    routes those to the optional Pillow path.
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 92) -> bytes:
+    """uint8 (h, w, 3) RGB -> baseline YCbCr 4:4:4 interleaved JFIF bytes.
+
+    JFIF color transform (full-range ITU-R 601), luminance quant/huffman
+    tables for Y and the Annex K chrominance tables for Cb/Cr — the
+    standard 3-component sequential profile without subsampling. Exists
+    primarily as the independent test encoder for the color DECODE path
+    (the engine's own lossy sink stays grayscale)."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_jpeg_color expects (h, w, 3)")
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    q_lum = _quant_table(quality)
+    q_chr_nat = _quant_table(quality, base=_Q_CHR)
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    planes = [
+        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") - 128.0
+        for p in (y, cb, cr)
+    ]
+    qs = [q_lum.reshape(8, 8), q_chr_nat.reshape(8, 8), q_chr_nat.reshape(8, 8)]
+    dcs = [(_DC_ENC, _AC_ENC), (_CHR_DC_ENC, _CHR_AC_ENC),
+           (_CHR_DC_ENC, _CHR_AC_ENC)]
+
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    # 4:4:4 interleaved: each MCU is one 8×8 block per component, in order
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for ci in range(3):
+                de, ae = dcs[ci]
+                prev[ci] = _encode_block(
+                    writer, planes[ci][by : by + 8, bx : bx + 8],
+                    qs[ci], de, ae, prev[ci],
+                )
+    scan = writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q_lum[_ZIGZAG]))
+    out += _seg(0xFFDB, bytes([1]) + bytes(int(x) for x in q_chr_nat[_ZIGZAG]))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(
+        0xFFC4, bytes([0x01]) + bytes(_DC_CHR_BITS) + bytes(_DC_CHR_VALS)
+    )
+    out += _seg(
+        0xFFC4, bytes([0x11]) + bytes(_AC_CHR_BITS) + bytes(_AC_CHR_VALS)
+    )
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _read_code(r: _BitReader, tbl: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        v = tbl.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code in jpeg scan")
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+    q2d: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + inverse-DCT ONE 8×8 block; returns
+    (centered block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    cat = _read_code(r, dc_tbl)
+    diff = _extend(r.bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_code(r, ac_tbl)
+        run, cat = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("jpeg AC index overflow")
+        zz[k] = _extend(r.bits(cat), cat)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[_ZIGZAG] = zz
+    coef = block.reshape(8, 8) * q2d
+    return _D.T @ coef @ _D, dc
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> uint16 (h, w) luma (8-bit value × 257).
+
+    Handles single-component grayscale AND 3-component interleaved
+    YCbCr **4:4:4** (no subsampling); color output is converted to
+    ITU-R 601 luma because the engine's band contract is grayscale u16.
+    Raises NotImplementedError for the remaining profiles (progressive,
+    subsampled 4:2:0/4:2:2, 12-bit, arithmetic coding, restart
+    intervals) — the ``codec.decode`` dispatch routes those to the
+    optional Pillow path.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -297,7 +478,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     scan_data = None
-    scan_comp = None
+    scan_tabs: list[tuple[int, int]] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -327,15 +508,21 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"jpeg precision {prec}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"jpeg with {ncomp} components: only grayscale "
-                    "baseline supported by the stdlib path"
+                    f"jpeg with {ncomp} components: only grayscale and "
+                    "YCbCr supported by the stdlib path"
                 )
-            samp, tq = body[7], body[8]
-            if samp != 0x11:
-                raise NotImplementedError("jpeg subsampling on 1 component")
-            sof = (h, w, tq)
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg chroma subsampling (only 4:4:4 decodes "
+                        "stdlib-side)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
         elif marker == 0xFFC4:
             i = 0
             while i < len(body):
@@ -349,61 +536,59 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             raise NotImplementedError("jpeg restart interval (DRI)")
         elif marker == 0xFFDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            scan_comp = (body[2] >> 4, body[2] & 0xF)  # (dc table, ac table)
+            if sof is None or ns != len(sof[2]):
+                raise NotImplementedError(
+                    "jpeg non-interleaved multi-scan (Ns != Nf)"
+                )
+            # component order in the scan header, each with (dc, ac) ids
+            scan_tabs = [
+                (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
             scan_data = payload[pos:]
             break
     if sof is None or scan_data is None:
         raise ValueError("jpeg missing SOF0/SOS")
-    h, w, tq = sof
-    if tq not in qtables:
-        raise ValueError("jpeg scan references missing quant table")
-    # DQT payload is zigzag-ordered (B.2.4.1) — map back to natural
-    q2d = qtables[tq].astype(np.float64)[_UNZIGZAG].reshape(8, 8)
-    dc_tbl = htables.get((0, scan_comp[0]))
-    ac_tbl = htables.get((1, scan_comp[1]))
-    if dc_tbl is None or ac_tbl is None:
-        raise ValueError("jpeg scan references missing huffman table")
-
-    def read_code(r: _BitReader, tbl: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | r.bit()
-            length += 1
-            v = tbl.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid huffman code in jpeg scan")
+    h, w, comps = sof
+    ncomp = len(comps)
+    q2ds, dc_tbls, ac_tbls = [], [], []
+    for (cid, tq), (dci, aci) in zip(comps, scan_tabs):
+        if tq not in qtables:
+            raise ValueError("jpeg scan references missing quant table")
+        # DQT payload is zigzag-ordered (B.2.4.1) — map back to natural
+        q2ds.append(qtables[tq].astype(np.float64)[_UNZIGZAG].reshape(8, 8))
+        dc_t, ac_t = htables.get((0, dci)), htables.get((1, aci))
+        if dc_t is None or ac_t is None:
+            raise ValueError("jpeg scan references missing huffman table")
+        dc_tbls.append(dc_t)
+        ac_tbls.append(ac_t)
 
     H, W = (h + 7) & ~7, (w + 7) & ~7
-    out = np.zeros((H, W), dtype=np.float64)
+    planes = [np.zeros((H, W), dtype=np.float64) for _ in range(ncomp)]
     r = _BitReader(scan_data)
-    prev_dc = 0
+    prev = [0] * ncomp
+    # interleaved 4:4:4: each MCU carries one 8×8 block per component
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
-            zz = np.zeros(64, dtype=np.float64)
-            cat = read_code(r, dc_tbl)
-            diff = _extend(r.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_code(r, ac_tbl)
-                run, cat = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg AC index overflow")
-                zz[k] = _extend(r.bits(cat), cat)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = zz
-            coef = block.reshape(8, 8) * q2d
-            out[by : by + 8, bx : bx + 8] = _D.T @ coef @ _D
-    px8 = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint16)
-    return px8 * 257
+            for ci in range(ncomp):
+                blk, prev[ci] = _decode_block(
+                    r, dc_tbls[ci], ac_tbls[ci], q2ds[ci], prev[ci]
+                )
+                planes[ci][by : by + 8, bx : bx + 8] = blk
+    if ncomp == 1:
+        px8 = np.clip(
+            np.round(planes[0][:h, :w] + 128.0), 0, 255
+        ).astype(np.uint16)
+        return px8 * 257
+    # YCbCr -> RGB (JFIF full-range 601) -> ITU-R 601 luma, matching what
+    # the Pillow fallback's convert('L') produces for the same payload
+    y = planes[0][:h, :w] + 128.0
+    cb = planes[1][:h, :w]
+    cr = planes[2][:h, :w]
+    rr = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    gg = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    bb = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    luma = np.clip(
+        np.round(0.299 * rr + 0.587 * gg + 0.114 * bb), 0, 255
+    ).astype(np.uint16)
+    return luma * 257

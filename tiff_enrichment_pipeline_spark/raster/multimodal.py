@@ -11,9 +11,10 @@ the Spark-side plumbing (schema, batch shape, UDF signature, partition
 behavior) is fully exercised.
 
 Formats (see raster/codec.py for the image ones):
-- images : ``raw-u16`` / ``lossy-q12`` / ``png`` / baseline ``tiff`` all
-  REAL (pure-stdlib codecs); only non-baseline TIFF variants
-  (tiles/LZW/JPEG/RGB/BigTIFF) remain Pillow-gated → NotImplementedError
+- images : ``raw-u16`` / ``lossy-q12`` / ``png`` / baseline ``tiff`` /
+  baseline ``jpeg`` (grayscale + YCbCr 4:4:4) all REAL (pure-stdlib
+  codecs); non-baseline TIFF variants (tiles/LZW/JPEG/RGB/BigTIFF) and
+  progressive/subsampled JPEG remain Pillow-gated → NotImplementedError
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian; flac/mp3 →
