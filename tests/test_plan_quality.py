@@ -260,3 +260,29 @@ def test_dated_weather_obs_dim_is_date_pruned(spark):
 
     assert has_date_filter(True)
     assert not has_date_filter(False)
+
+
+def test_dated_weather_packed_plan_shape(spark):
+    """pack_obs=True (the r5 default): the probe side must never
+    hash-shuffle — its only exchanges are broadcasts — and the ONE hash
+    exchange in the whole plan is the obs-side station groupBy that
+    builds the packed dim (that shuffle carries the small dim, not the
+    fact table)."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = geotables.images_geo(spark, SF).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, SF)
+    obs = geotables.weather_observations(spark, SF)
+    plan = _executed_plan(nearest_station_dated(img, st, obs))
+    assert "SortMergeJoin" not in plan
+    hash_exchanges = [
+        ls for ls in (l.strip() for l in plan.splitlines())
+        if "Exchange hashpartitioning" in ls
+    ]
+    # exactly one: groupBy(station_id) on the obs dim
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "station_id" in hash_exchanges[0], hash_exchanges
