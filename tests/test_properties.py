@@ -143,3 +143,37 @@ def test_terrain_gradient_consistency_property(w, h, seed):
     ok = ~np.isnan(a)
     assert ((a[ok] >= 0.0) & (a[ok] < 360.0)).all()
     assert ((hs >= 0.0) & (hs <= 255.0)).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(70, 100),
+)
+def test_jpeg_color_roundtrip_property(w, h, seed, quality):
+    """Color JPEG (YCbCr 4:4:4 baseline) decode invariants on SMOOTH
+    random gradients at any shape/quality≥70: decoded luma stays within
+    the 8-bit-expanded domain, dims are exact, and PSNR vs the original's
+    true 601 luma clears the 40 dB input_hint floor. (Pure noise images
+    are excluded by construction — quantization of white noise is
+    unbounded for ANY codec; smoothness is the documented contract.)"""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for _ in range(3):
+        fx, fy, ph = rng.uniform(5, 30), rng.uniform(5, 30), rng.uniform(0, 6)
+        amp, base = rng.uniform(30, 90), rng.uniform(80, 170)
+        chans.append(
+            np.clip(base + amp * np.sin(xx / fx + ph) * np.cos(yy / fy), 0, 255)
+        )
+    rgb = np.stack(chans, axis=-1).astype(np.uint8)
+    dec = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(rgb, quality=quality))
+    assert dec.shape == (h, w) and dec.dtype == np.uint16
+    assert dec.max() <= 255 * 257
+    rf, gf, bf = (rgb[..., i].astype(np.float64) for i in range(3))
+    luma = np.clip(np.round(0.299 * rf + 0.587 * gf + 0.114 * bf), 0, 255) * 257
+    assert codec.psnr_db(luma.astype(np.uint16), dec) >= 40.0
