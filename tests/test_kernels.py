@@ -452,3 +452,41 @@ def test_jpeg_color_444_decode(tmp_path):
     # non-multiple-of-8 color dims
     odd = rgb[:61, :83]
     assert jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(odd)).shape == (61, 83)
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn support (round 5): restart markers every N MCUs decode
+    bit-identically to the unrestarted stream for gray AND color, and a
+    wrong restart index classifies as CORRUPT (ValueError), never as
+    'unsupported' (NotImplementedError would misroute quarantine)."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    yy, xx = np.mgrid[0:96, 0:112]
+    band = (1000 + 20000 * np.abs(np.sin(xx / 17.0) * np.cos(yy / 11.0))).astype(
+        np.uint16
+    )
+    ref = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(band, quality=92))
+    for ri in (1, 3, 7, 100):
+        enc = jpeg.encode_jpeg_gray(band, quality=92, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert np.array_equal(jpeg.decode_jpeg_gray(enc), ref), ri
+
+    rgb = np.stack(
+        [
+            (127 + 80 * np.sin(xx / 19.0)).clip(0, 255),
+            (127 + 60 * np.cos(yy / 23.0)).clip(0, 255),
+            (127 + 50 * np.sin((xx + yy) / 29.0)).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    cref = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(rgb, quality=92))
+    for ri in (2, 5):
+        enc = jpeg.encode_jpeg_color(rgb, quality=92, restart_interval=ri)
+        assert np.array_equal(jpeg.decode_jpeg_gray(enc), cref), ri
+
+    # wrong restart index → corrupt (ValueError), not unsupported
+    enc = bytearray(jpeg.encode_jpeg_gray(band, quality=92, restart_interval=3))
+    i = enc.find(b"\xff\xd0")
+    enc[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker mismatch"):
+        jpeg.decode_jpeg_gray(bytes(enc))

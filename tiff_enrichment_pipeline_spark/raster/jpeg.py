@@ -8,9 +8,11 @@ product, standard luminance quantization scaled by quality. Round 5
 (VERDICT r4 stretch #8) extends decode to THREE-component interleaved
 baseline without subsampling (YCbCr 4:4:4 — the most common remaining
 foreign profile), converting to ITU-R 601 luma on output since the
-engine's band contract is grayscale u16. Progressive (SOF2), 12-bit,
-subsampled (4:2:0/4:2:2) and restart-interval profiles stay behind the
-optional Pillow gate in ``codec.decode`` — same policy as tiled/LZW TIFF.
+engine's band contract is grayscale u16, and handles restart intervals
+(DRI/RSTn — byte-aligned entropy resets with DC-predictor reset, E.2.4).
+Progressive (SOF2), 12-bit and subsampled (4:2:0/4:2:2) profiles stay
+behind the optional Pillow gate in ``codec.decode`` — same policy as
+tiled/LZW TIFF.
 
 Pixel convention: the engine's bands are uint16; JPEG baseline is 8-bit.
 ``encode_jpeg_gray`` stores the high byte (v >> 8); ``decode_jpeg_gray``
@@ -187,6 +189,14 @@ class _BitWriter:
         self.acc = 0
         self.n = 0
 
+    def restart_marker(self, idx: int) -> None:
+        """1-pad to a byte boundary and emit RST(idx%8) — markers are
+        written raw, never byte-stuffed (B.2.1.2)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
     def write(self, code: int, length: int) -> None:
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.n += length
@@ -228,10 +238,16 @@ class _BitReader:
             elif nxt == 0xD9:  # EOI reached mid-read: spec allows 1-padding
                 self.pos -= 1  # stay on the 0xFF: every further fill pads
                 b = 0xFF
+            elif 0xD0 <= nxt <= 0xD7:
+                # an RSTn where entropy data was expected: with DRI
+                # handled at MCU boundaries this means a desynced/corrupt
+                # stream, not a missing capability
+                raise ValueError(
+                    f"jpeg unexpected RST{nxt - 0xD0} inside entropy data"
+                )
             else:
                 raise NotImplementedError(
-                    f"jpeg marker 0x{nxt:02X} inside scan (restart markers "
-                    "need DRI support)"
+                    f"jpeg marker 0x{nxt:02X} inside scan"
                 )
         self.acc = (self.acc << 8) | b
         self.n += 8
@@ -248,6 +264,21 @@ class _BitReader:
 
     def bit(self) -> int:
         return self.bits(1)
+
+    def consume_restart(self, idx: int) -> None:
+        """Discard pad bits to the byte boundary and consume the expected
+        RST(idx%8) marker; DC predictors reset at the caller."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("jpeg truncated at restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (idx % 8):
+            raise ValueError(
+                f"jpeg restart marker mismatch: expected RST{idx % 8}, "
+                f"got {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -311,8 +342,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(band: np.ndarray, quality: int = 92) -> bytes:
-    """uint16 (h, w) band -> baseline grayscale JFIF bytes (high byte)."""
+def encode_jpeg_gray(
+    band: np.ndarray, quality: int = 92, restart_interval: int = 0
+) -> bytes:
+    """uint16 (h, w) band -> baseline grayscale JFIF bytes (high byte).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (resettable entropy segments — what real encoders emit
+    for error resilience; also the decoder-path test vector)."""
     h, w = band.shape
     px = (band.astype(np.uint16) >> 8).astype(np.float64)
     qtbl = _quant_table(quality)  # natural order
@@ -323,8 +359,13 @@ def encode_jpeg_gray(band: np.ndarray, quality: int = 92) -> bytes:
 
     writer = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.restart_marker(mcu_i // restart_interval - 1)
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(
                 writer, pad[by : by + 8, bx : bx + 8], q2d,
                 _DC_ENC, _AC_ENC, prev_dc,
@@ -340,6 +381,8 @@ def encode_jpeg_gray(band: np.ndarray, quality: int = 92) -> bytes:
     )
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -350,7 +393,9 @@ _CHR_DC_ENC = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
 _CHR_AC_ENC = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
 
 
-def encode_jpeg_color(rgb: np.ndarray, quality: int = 92) -> bytes:
+def encode_jpeg_color(
+    rgb: np.ndarray, quality: int = 92, restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w, 3) RGB -> baseline YCbCr 4:4:4 interleaved JFIF bytes.
 
     JFIF color transform (full-range ITU-R 601), luminance quant/huffman
@@ -381,9 +426,14 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 92) -> bytes:
 
     writer = _BitWriter()
     prev = [0, 0, 0]
+    mcu_i = 0
     # 4:4:4 interleaved: each MCU is one 8×8 block per component, in order
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.restart_marker(mcu_i // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu_i += 1
             for ci in range(3):
                 de, ae = dcs[ci]
                 prev[ci] = _encode_block(
@@ -409,6 +459,8 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 92) -> bytes:
     out += _seg(
         0xFFC4, bytes([0x11]) + bytes(_AC_CHR_BITS) + bytes(_AC_CHR_VALS)
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"
@@ -479,6 +531,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     sof = None
     scan_data = None
     scan_tabs: list[tuple[int, int]] = []
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -533,7 +586,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decoder(bits, vals)
                 i += 17 + nval
         elif marker == 0xFFDD:
-            raise NotImplementedError("jpeg restart interval (DRI)")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
             if sof is None or ns != len(sof[2]):
@@ -567,9 +620,15 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     planes = [np.zeros((H, W), dtype=np.float64) for _ in range(ncomp)]
     r = _BitReader(scan_data)
     prev = [0] * ncomp
+    mcu_i = 0
     # interleaved 4:4:4: each MCU carries one 8×8 block per component
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align, consume RSTn, reset every DC predictor (E.2.4)
+                r.consume_restart(mcu_i // restart_interval - 1)
+                prev = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 blk, prev[ci] = _decode_block(
                     r, dc_tbls[ci], ac_tbls[ci], q2ds[ci], prev[ci]
