@@ -441,17 +441,60 @@ def test_jpeg_color_444_decode(tmp_path):
     assert payload.count(b"\xff\xdb") == 2
     assert payload.count(b"\xff\xc4") == 4
 
-    # subsampled (4:2:0) stays gated: patch the SOF sampling byte of Y
+    # exotic sampling factors (>2 per axis) stay gated: patch the SOF
+    # sampling byte of Y. SOF0 body: len(2) prec(1) h(2) w(2) nf(1),
+    # then (id, samp, tq)*3
     sub = bytearray(payload)
     j = sub.find(b"\xff\xc0")
-    # SOF0 body: len(2) prec(1) h(2) w(2) nf(1), then (id, samp, tq)*3
-    sub[j + 11] = 0x22  # Y component sampling 2x2 → 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[j + 11] = 0x31  # Y component sampling 3x1
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         jpeg.decode_jpeg_gray(bytes(sub))
 
     # non-multiple-of-8 color dims
     odd = rgb[:61, :83]
     assert jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(odd)).shape == (61, 83)
+
+
+def test_jpeg_subsampled_profiles_decode():
+    """4:2:2 and 4:2:0 (the dominant real-world profiles) now decode
+    stdlib-side: smaller payloads than 4:4:4, ≥40 dB vs true luma on
+    smooth RGB, any dims (16×16 MCU padding at 4:2:0), composing with
+    restart intervals."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    h, w = 96, 112
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (127 + 80 * np.sin(xx / 19.0) + 40 * np.cos(yy / 13.0)).clip(0, 255),
+            (127 + 60 * np.cos(xx / 23.0) + 60 * np.sin(yy / 17.0)).clip(0, 255),
+            (127 + 50 * np.sin((xx + yy) / 29.0)).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    rf, gf, bf = (rgb[..., i].astype(np.float64) for i in range(3))
+    luma = (
+        np.clip(np.round(0.299 * rf + 0.587 * gf + 0.114 * bf), 0, 255) * 257
+    ).astype(np.uint16)
+
+    sizes = {}
+    for ss in ("444", "422", "420"):
+        for ri in (0, 3):
+            enc = jpeg.encode_jpeg_color(
+                rgb, quality=92, subsampling=ss, restart_interval=ri
+            )
+            dec = jpeg.decode_jpeg_gray(enc)
+            assert dec.shape == (h, w), (ss, ri)
+            assert codec.psnr_db(luma, dec) >= 40.0, (ss, ri)
+            if ri == 0:
+                sizes[ss] = len(enc)
+    # subsampling actually removes chroma bits
+    assert sizes["420"] < sizes["422"] < sizes["444"], sizes
+
+    # odd dims under the 16×16 MCU grid
+    odd = rgb[:61, :83]
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(odd, subsampling="420"))
+    assert got.shape == (61, 83)
 
 
 def test_jpeg_restart_intervals():

@@ -447,9 +447,9 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             # stdlib baseline: grayscale AND YCbCr 4:4:4 (luma out)
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # non-baseline profile (progressive, subsampled
-            # 4:2:0/4:2:2, 12-bit) → optional Pillow, same policy as
-            # tiff/png (gray, 4:4:4 color and DRI restarts are stdlib)
+            # non-baseline profile (progressive, 12-bit, sampling
+            # factors >2) → optional Pillow, same policy as tiff/png
+            # (gray, 4:4:4/4:2:2/4:2:0 color, DRI restarts are stdlib)
             try:
                 import io
 

@@ -1,4 +1,4 @@
-"""Stdlib baseline JPEG codec (grayscale + YCbCr 4:4:4, sequential, 8-bit).
+"""Stdlib baseline JPEG codec (gray + YCbCr 4:4:4/4:2:2/4:2:0, 8-bit).
 
 Closes the one remaining common foreign format the engine could not decode
 without Pillow (VERDICT r3 stretch #9): single-component baseline JFIF now
@@ -6,13 +6,14 @@ encodes and decodes with numpy + stdlib only — huffman entropy coding with
 the ITU-T81 Annex K standard tables, orthonormal 8×8 DCT as a matrix
 product, standard luminance quantization scaled by quality. Round 5
 (VERDICT r4 stretch #8) extends decode to THREE-component interleaved
-baseline without subsampling (YCbCr 4:4:4 — the most common remaining
-foreign profile), converting to ITU-R 601 luma on output since the
-engine's band contract is grayscale u16, and handles restart intervals
-(DRI/RSTn — byte-aligned entropy resets with DC-predictor reset, E.2.4).
-Progressive (SOF2), 12-bit and subsampled (4:2:0/4:2:2) profiles stay
-behind the optional Pillow gate in ``codec.decode`` — same policy as
-tiled/LZW TIFF.
+baseline (YCbCr), converting to ITU-R 601 luma on output since the
+engine's band contract is grayscale u16; handles restart intervals
+(DRI/RSTn — byte-aligned entropy resets with DC-predictor reset, E.2.4)
+and chroma subsampling with factors 1-2 per axis (4:2:2 and 4:2:0 — the
+dominant real-world profiles — via general h_i×v_i MCU interleave +
+replication upsample). Progressive (SOF2), 12-bit and exotic sampling
+factors stay behind the optional Pillow gate in ``codec.decode`` — same
+policy as tiled/LZW TIFF.
 
 Pixel convention: the engine's bands are uint16; JPEG baseline is 8-bit.
 ``encode_jpeg_gray`` stores the high byte (v >> 8); ``decode_jpeg_gray``
@@ -393,33 +394,62 @@ _CHR_DC_ENC = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
 _CHR_AC_ENC = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
 
 
+def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-average downsample by integer factors (edge-padded to even)."""
+    if fx == 1 and fy == 1:
+        return p
+    h, w = p.shape
+    p = np.pad(p, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge")
+    return p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+        axis=(1, 3)
+    )
+
+
 def encode_jpeg_color(
-    rgb: np.ndarray, quality: int = 92, restart_interval: int = 0
+    rgb: np.ndarray,
+    quality: int = 92,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """uint8 (h, w, 3) RGB -> baseline YCbCr 4:4:4 interleaved JFIF bytes.
+    """uint8 (h, w, 3) RGB -> baseline YCbCr interleaved JFIF bytes.
 
     JFIF color transform (full-range ITU-R 601), luminance quant/huffman
-    tables for Y and the Annex K chrominance tables for Cb/Cr — the
-    standard 3-component sequential profile without subsampling. Exists
-    primarily as the independent test encoder for the color DECODE path
-    (the engine's own lossy sink stays grayscale)."""
+    tables for Y and the Annex K chrominance tables for Cb/Cr.
+    ``subsampling``: '444' (no subsampling), '422' (chroma halved
+    horizontally, Y sampling 2×1) or '420' (chroma halved both ways,
+    Y 2×2 — the dominant real-world profile; box-average downsample).
+    Exists primarily as the independent test encoder for the color
+    DECODE path (the engine's own lossy sink stays grayscale)."""
     h, w, nc = rgb.shape
     if nc != 3:
         raise ValueError("encode_jpeg_color expects (h, w, 3)")
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hY, vY = factors[subsampling]
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = _box_downsample(cb, hY, vY)
+    cr = _box_downsample(cr, hY, vY)
 
     q_lum = _quant_table(quality)
     q_chr_nat = _quant_table(quality, base=_Q_CHR)
-    H, W = (h + 7) & ~7, (w + 7) & ~7
-    planes = [
-        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") - 128.0
-        for p in (y, cb, cr)
-    ]
+    mcux = -(-w // (8 * hY))
+    mcuy = -(-h // (8 * vY))
+    samps = [(hY, vY), (1, 1), (1, 1)]
+    planes = []
+    for p, (hi, vi) in zip((y, cb, cr), samps):
+        PH, PW = mcuy * vi * 8, mcux * hi * 8
+        planes.append(
+            np.pad(
+                p, ((0, PH - p.shape[0]), (0, PW - p.shape[1])), mode="edge"
+            )
+            - 128.0
+        )
     qs = [q_lum.reshape(8, 8), q_chr_nat.reshape(8, 8), q_chr_nat.reshape(8, 8)]
     dcs = [(_DC_ENC, _AC_ENC), (_CHR_DC_ENC, _CHR_AC_ENC),
            (_CHR_DC_ENC, _CHR_AC_ENC)]
@@ -427,19 +457,24 @@ def encode_jpeg_color(
     writer = _BitWriter()
     prev = [0, 0, 0]
     mcu_i = 0
-    # 4:4:4 interleaved: each MCU is one 8×8 block per component, in order
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
+    # interleaved: each MCU carries h_i×v_i blocks per component (A.2.3)
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 writer.restart_marker(mcu_i // restart_interval - 1)
                 prev = [0, 0, 0]
             mcu_i += 1
-            for ci in range(3):
+            for ci, (hi, vi) in enumerate(samps):
                 de, ae = dcs[ci]
-                prev[ci] = _encode_block(
-                    writer, planes[ci][by : by + 8, bx : bx + 8],
-                    qs[ci], de, ae, prev[ci],
-                )
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        prev[ci] = _encode_block(
+                            writer,
+                            planes[ci][py : py + 8, px : px + 8],
+                            qs[ci], de, ae, prev[ci],
+                        )
     scan = writer.flush()
 
     out = bytearray(b"\xff\xd8")
@@ -449,7 +484,7 @@ def encode_jpeg_color(
     out += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, (hY << 4) | vY, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -569,12 +604,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "jpeg chroma subsampling (only 4:4:4 decodes "
-                        "stdlib-side)"
+                        f"jpeg sampling factor {hi}x{vi}: only 1-2 per "
+                        "axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0) decodes "
+                        "stdlib-side"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker == 0xFFC4:
             i = 0
@@ -605,7 +642,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     h, w, comps = sof
     ncomp = len(comps)
     q2ds, dc_tbls, ac_tbls = [], [], []
-    for (cid, tq), (dci, aci) in zip(comps, scan_tabs):
+    for (cid, hi, vi, tq), (dci, aci) in zip(comps, scan_tabs):
         if tq not in qtables:
             raise ValueError("jpeg scan references missing quant table")
         # DQT payload is zigzag-ordered (B.2.4.1) — map back to natural
@@ -616,34 +653,53 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         dc_tbls.append(dc_t)
         ac_tbls.append(ac_t)
 
-    H, W = (h + 7) & ~7, (w + 7) & ~7
-    planes = [np.zeros((H, W), dtype=np.float64) for _ in range(ncomp)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for (_, hi, vi, _) in comps
+    ]
     r = _BitReader(scan_data)
     prev = [0] * ncomp
     mcu_i = 0
-    # interleaved 4:4:4: each MCU carries one 8×8 block per component
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
+    # interleaved scan (A.2.3): each MCU carries h_i×v_i blocks per
+    # component in raster order within the MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 # byte-align, consume RSTn, reset every DC predictor (E.2.4)
                 r.consume_restart(mcu_i // restart_interval - 1)
                 prev = [0] * ncomp
             mcu_i += 1
-            for ci in range(ncomp):
-                blk, prev[ci] = _decode_block(
-                    r, dc_tbls[ci], ac_tbls[ci], q2ds[ci], prev[ci]
-                )
-                planes[ci][by : by + 8, bx : bx + 8] = blk
+            for ci, (_, hi, vi, _) in enumerate(comps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk, prev[ci] = _decode_block(
+                            r, dc_tbls[ci], ac_tbls[ci], q2ds[ci], prev[ci]
+                        )
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        planes[ci][py : py + 8, px : px + 8] = blk
+    # upsample subsampled planes to full resolution by pixel replication,
+    # then crop to (h, w)
+    full = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        p = planes[ci]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        px8 = np.clip(
-            np.round(planes[0][:h, :w] + 128.0), 0, 255
-        ).astype(np.uint16)
+        px8 = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint16)
         return px8 * 257
     # YCbCr -> RGB (JFIF full-range 601) -> ITU-R 601 luma, matching what
     # the Pillow fallback's convert('L') produces for the same payload
-    y = planes[0][:h, :w] + 128.0
-    cb = planes[1][:h, :w]
-    cr = planes[2][:h, :w]
+    y = full[0] + 128.0
+    cb = full[1]
+    cr = full[2]
     rr = np.clip(np.round(y + 1.402 * cr), 0, 255)
     gg = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
     bb = np.clip(np.round(y + 1.772 * cb), 0, 255)
