@@ -497,6 +497,50 @@ def test_jpeg_subsampled_profiles_decode():
     assert got.shape == (61, 83)
 
 
+def test_jpeg_noninterleaved_and_rgb_gates():
+    """Review findings (r5): (a) an Ns=1 scan is NON-interleaved per
+    T.81 A.2 — SOF sampling factors on a single-component file must be
+    ignored, not turned into multi-block MCUs; (b) RGB-component streams
+    (Adobe APP14 transform=0 or 'R','G','B' component ids) must gate to
+    Pillow, never silently run YCbCr math on RGB planes."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    band = (1000 + 20000 * np.abs(np.sin(xx / 17.0) * np.cos(yy / 11.0))).astype(
+        np.uint16
+    )
+    # (a) patch the lone component's sampling to 2x2: decode must be
+    # bit-identical, for 8-multiple AND odd dims (the desync case)
+    for b in (band, band[:61, :59]):
+        enc = jpeg.encode_jpeg_gray(b, quality=92)
+        ref = jpeg.decode_jpeg_gray(enc)
+        p = bytearray(enc)
+        j = p.find(b"\xff\xc0")
+        p[j + 11] = 0x22
+        assert np.array_equal(jpeg.decode_jpeg_gray(bytes(p)), ref)
+
+    rgb = np.stack([band >> 8] * 3, axis=-1).astype(np.uint8)
+    # (b1) component ids 'R','G','B'
+    enc3 = bytearray(jpeg.encode_jpeg_color(rgb, quality=92))
+    j = enc3.find(b"\xff\xc0")
+    enc3[j + 10], enc3[j + 13], enc3[j + 16] = 82, 71, 66
+    with pytest.raises(NotImplementedError, match="RGB component ids"):
+        jpeg.decode_jpeg_gray(bytes(enc3))
+    # (b2) Adobe APP14 transform=0 (raw RGB) gates; transform=1 decodes
+    def with_app14(transform):
+        seg = (
+            b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe" + bytes(6)
+            + bytes([transform])
+        )
+        out = bytearray(jpeg.encode_jpeg_color(rgb, quality=92))
+        out[2:2] = seg
+        return bytes(out)
+
+    with pytest.raises(NotImplementedError, match="APP14 transform=0"):
+        jpeg.decode_jpeg_gray(with_app14(0))
+    assert jpeg.decode_jpeg_gray(with_app14(1)).shape == (64, 64)
+
+
 def test_jpeg_restart_intervals():
     """DRI/RSTn support (round 5): restart markers every N MCUs decode
     bit-identically to the unrestarted stream for gray AND color, and a

@@ -505,3 +505,55 @@ def test_dated_weather_packed_equals_row_join_on_sparse_obs(spark):
     assert packed[3] == (20, 6.0)      # gapped station, existing date
     assert packed[4] == (30, None)     # no obs for the station
     assert packed[5][1] is None        # outside history → NULL
+
+
+def test_dated_weather_packed_duplicates_and_null_dates(spark):
+    """Review finding (r5): a duplicate (station, date) or a NULL date
+    must NOT spoof the dense-index test — duplicates satisfy
+    size == span+1 while shifting every index, returning the WRONG
+    day's payload for in-gap probes; a NULL date sorted into the array
+    shifts all indexes by one. Duplicated stations must take the exact
+    linear fallback; NULL-dated rows are dropped pre-pack (they can
+    never match the equi-join key)."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = spark.createDataFrame(
+        [(1, 5.0, 52.0, "1999-01-02 10:00:00"),   # in-GAP of dup station
+         (2, 5.0, 52.0, "1999-01-03 09:00:00"),   # existing date
+         (3, 5.1, 52.1, "1999-01-02 08:00:00")],  # null-date station, gap
+        "image_id long, lon double, lat double, captured_at string",
+    ).select(
+        "image_id", "lon", "lat",
+        F.col("captured_at").cast("timestamp").alias("captured_at"),
+    )
+    st = spark.createDataFrame(
+        [(10, 5.0, 52.0, 14.0), (20, 5.1, 52.1, 15.0)],
+        "station_id long, st_lon double, st_lat double, temp_c double",
+    )
+    # station 10: duplicate 01-01 + gap on 01-02 (size 3 == span 3 —
+    # the spoof); station 20: NULL date + gap on 01-02
+    obs = spark.createDataFrame(
+        [(10, "1999-01-01", 1.0), (10, "1999-01-01", 1.5),
+         (10, "1999-01-03", 3.0),
+         (20, None, 9.0), (20, "1999-01-01", 4.0), (20, "1999-01-03", 6.0)],
+        "station_id long, obs_date string, obs_temp_c double",
+    ).select(
+        "station_id", F.col("obs_date").cast("date").alias("obs_date"),
+        "obs_temp_c",
+    )
+    got = {
+        r["image_id"]: r["obs_temp_c"]
+        for r in nearest_station_dated(img, st, obs, pack_obs=True).collect()
+    }
+    assert got[1] is None    # in-gap: was 1.5 (wrong dup payload) pre-fix
+    assert got[2] == 3.0     # real date still resolves (linear fallback)
+    assert got[3] is None    # NULL-date row neither matches nor shifts
+    # multiplicity on the duplicated key itself follows the documented
+    # packed contract: ONE row (first in date-sorted order)
+    dup_probe = img.filter(F.col("image_id") == 1).withColumn(
+        "captured_at", F.lit("1999-01-01 10:00:00").cast("timestamp")
+    )
+    rows = nearest_station_dated(dup_probe, st, obs, pack_obs=True).collect()
+    assert len(rows) == 1 and rows[0]["obs_temp_c"] == 1.0

@@ -425,13 +425,16 @@ def nearest_station_dated(
     span covers 94% of obs days (prune kept — it is the lever that
     matters when a corpus spans a narrow epoch, it just can't help this
     fixture). Exactness: stations whose dates are dense (one row per
-    consecutive day — the station-day history contract, reference PK
-    semantics create-tables.sql:129-132) index directly; sparse
-    stations fall back to an exact linear probe of their own array, so
-    gaps are handled. The one divergence from the row-level join is
-    duplicate (station_id, date) keys: the plain join would emit one
-    output row per duplicate, the packed lookup emits the first — a
-    violation of the reference's PK either way. ``pack_obs`` is ignored
+    consecutive day, no duplicate dates — the station-day history
+    contract, reference PK semantics create-tables.sql:129-132) index
+    directly; stations with gaps or duplicate dates fall back to an
+    exact linear probe of their own date-sorted array, and NULL-dated
+    rows are dropped pre-pack (they can never match the equi-join key).
+    The one divergence from the row-level join is duplicate
+    (station_id, date) keys: the plain join would emit one output row
+    per duplicate, the packed lookup emits the first in date-sorted
+    order — a violation of the reference's PK either way. ``pack_obs``
+    is ignored
     on the shuffle path (``broadcast_obs=False``): a station-keyed
     shuffle would co-locate ALL of a hot station's probes on one task,
     while the (station_id, date) composite key keeps the shuffle
@@ -455,27 +458,55 @@ def nearest_station_dated(
         )
     probe = nn.withColumn("weather_historical_date", F.to_date(F.col(ts)))
     if broadcast_obs and pack_obs:
+        reserved = {"_obs_lo", "_obs_hi", "_obs_entries", "_obs_dense",
+                    "_obs_hit"}
+        clash = reserved & (set(obs.columns) | set(probe.columns))
+        if clash:
+            raise ValueError(
+                f"nearest_station_dated(pack_obs=True) reserves temp "
+                f"column names {sorted(reserved)}; input already has "
+                f"{sorted(clash)} — rename them first"
+            )
         payload = [
             c
             for c in obs.columns
             if c not in ("station_id", "weather_historical_date")
         ]
-        packed = obs.groupBy("station_id").agg(
-            F.min("weather_historical_date").alias("_obs_lo"),
-            F.max("weather_historical_date").alias("_obs_hi"),
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("weather_historical_date").alias("d"),
-                        *[F.col(c) for c in payload],
+        # NULL-dated obs rows can never match the equi-join key, so
+        # dropping them pre-pack is exact — and necessary: a NULL date
+        # inside the entries array would shift every dense index
+        packed = (
+            obs.filter(F.col("weather_historical_date").isNotNull())
+            .groupBy("station_id")
+            .agg(
+                F.min("weather_historical_date").alias("_obs_lo"),
+                F.max("weather_historical_date").alias("_obs_hi"),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("weather_historical_date").alias("d"),
+                            *[F.col(c) for c in payload],
+                        )
                     )
-                )
-            ).alias("_obs_entries"),
+                ).alias("_obs_entries"),
+            )
+        )
+        # dense ⇔ one entry per consecutive day AND no duplicate dates —
+        # a duplicated date would otherwise satisfy the size==span test
+        # while shifting indexes, returning the WRONG day's payload for
+        # in-gap probes. The distinct count is computed on the packed
+        # array (one projection) rather than countDistinct in the agg,
+        # whose distinct-rewrite would add a second exchange.
+        n_dates = F.size(
+            F.array_distinct(
+                F.transform(F.col("_obs_entries"), lambda e: e["d"])
+            )
         )
         packed = packed.withColumn(
             "_obs_dense",
-            F.size("_obs_entries")
-            == F.datediff("_obs_hi", "_obs_lo") + F.lit(1),
+            (F.size("_obs_entries")
+             == F.datediff("_obs_hi", "_obs_lo") + F.lit(1))
+            & (n_dates == F.size("_obs_entries")),
         )
         out = probe.join(F.broadcast(packed), "station_id", "left")
         whd = F.col("weather_historical_date")
@@ -491,11 +522,9 @@ def nearest_station_dated(
                 F.lit(0),
             )
         )
-        out = out.withColumn("_obs_hit", hit)
-        for c in payload:
-            out = out.withColumn(c, F.col("_obs_hit")[c])
-        return out.drop(
-            "_obs_lo", "_obs_hi", "_obs_entries", "_obs_dense", "_obs_hit"
+        keep = [c for c in out.columns if c not in reserved]
+        return out.withColumn("_obs_hit", hit).select(
+            *keep, *[F.col("_obs_hit")[c].alias(c) for c in payload]
         )
     if broadcast_obs:
         obs = F.broadcast(obs)

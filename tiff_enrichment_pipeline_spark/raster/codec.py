@@ -496,14 +496,25 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                     "non-baseline tiff decode requires Pillow (not installed); "
                     "baseline grayscale strips (none/deflate) decode stdlib-only"
                 ) from e
-            img = Image.open(io.BytesIO(payload))
-            if img.mode not in ("I;16", "I", "L"):
-                img = img.convert("L")
-            arr = np.asarray(img, dtype=np.uint16)
-            if img.mode == "L":
-                # ×257 8→16-bit expansion, same policy as png/jpeg
-                # fallbacks (ADVICE r4); true 16-bit modes keep raw values
-                arr = arr * np.uint16(257)
+            try:
+                img = Image.open(io.BytesIO(payload))
+                if img.mode not in ("I;16", "I", "L"):
+                    img = img.convert("L")
+                arr = np.asarray(img, dtype=np.uint16)
+                if img.mode == "L":
+                    # ×257 8→16-bit expansion, same policy as png/jpeg
+                    # fallbacks (ADVICE r4); true 16-bit modes keep raw
+                    # values
+                    arr = arr * np.uint16(257)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                # Pillow failures are capability gaps → 'unsupported',
+                # not 'corrupt' — same classification as the png/jpeg
+                # fallbacks so quarantine routing stays uniform
+                raise NotImplementedError(
+                    f"tiff profile unsupported by the Pillow fallback: {e}"
+                ) from e
         if arr.shape != (h, w):
             raise ValueError(
                 f"tiff dimensions {arr.shape} != metadata ({h}, {w})"

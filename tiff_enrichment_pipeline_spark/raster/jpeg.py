@@ -550,13 +550,16 @@ def _decode_block(
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Baseline JFIF -> uint16 (h, w) luma (8-bit value × 257).
 
-    Handles single-component grayscale AND 3-component interleaved
-    YCbCr **4:4:4** (no subsampling); color output is converted to
-    ITU-R 601 luma because the engine's band contract is grayscale u16.
-    Raises NotImplementedError for the remaining profiles (progressive,
-    subsampled 4:2:0/4:2:2, 12-bit, arithmetic coding, restart
-    intervals) — the ``codec.decode`` dispatch routes those to the
-    optional Pillow path.
+    Handles single-component grayscale (non-interleaved Ns=1 scan —
+    sampling factors are ignored per T.81 A.2) and 3-component
+    interleaved YCbCr with per-axis sampling factors 1-2 (4:4:4, 4:2:2,
+    4:2:0, 4:4:0), plus restart intervals (DRI/RSTn); color output is
+    converted to ITU-R 601 luma because the engine's band contract is
+    grayscale u16. Raises NotImplementedError for the remaining
+    profiles (progressive, 12-bit, arithmetic coding, sampling factors
+    above 2, and Adobe-RGB streams whose APP14 declares transform 0) —
+    the ``codec.decode`` dispatch routes those to the optional Pillow
+    path.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -605,6 +608,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0xF
+                if ncomp == 1:
+                    # an Ns=1 scan is NON-interleaved (T.81 A.2): the MCU
+                    # is one block and sampling factors do not shape the
+                    # scan, so normalize them — real encoders do emit
+                    # e.g. 2x2 on single-component files
+                    hi = vi = 1
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
                         f"jpeg sampling factor {hi}x{vi}: only 1-2 per "
@@ -612,6 +621,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         "stdlib-side"
                     )
                 comps.append((cid, hi, vi, tq))
+            if ncomp == 3 and {c[0] for c in comps} == {82, 71, 66}:
+                # component ids 'R','G','B': raw-RGB stream (no color
+                # transform) — same gate as APP14 transform=0
+                raise NotImplementedError(
+                    "jpeg with RGB component ids: the stdlib path only "
+                    "decodes YCbCr"
+                )
             sof = (h, w, comps)
         elif marker == 0xFFC4:
             i = 0
@@ -624,6 +640,16 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 i += 17 + nval
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFEE and body[:5] == b"Adobe":
+            # APP14 transform flag: 0 = components are straight RGB (no
+            # color transform) — our fixed YCbCr math would silently
+            # produce wrong luma, so gate to the Pillow path (which
+            # honors APP14); 1 = YCbCr, 2 = YCCK (4-comp, gated at SOF)
+            if len(body) >= 12 and body[11] == 0:
+                raise NotImplementedError(
+                    "jpeg Adobe APP14 transform=0 (RGB components): the "
+                    "stdlib path only decodes YCbCr"
+                )
         elif marker == 0xFFDA:
             ns = body[0]
             if sof is None or ns != len(sof[2]):
