@@ -393,6 +393,40 @@ def decode_tiff_u16(payload: bytes) -> np.ndarray:
     return decode_geotiff(payload)[0]
 
 
+def _pillow_gray_u16(payload: bytes, fmt: str, hint: str) -> np.ndarray:
+    """Shared optional-Pillow fallback for the png/jpeg/tiff branches
+    (was three near-verbatim copies — one classification or expansion
+    tweak must apply to all formats at once). Contract: color → luma via
+    convert('L'); 8-bit modes expand ×257 into the u16 domain (ADVICE
+    r4 — the same scene in any 8-bit container must land in the same
+    range); true 16-bit modes (I;16 / I) keep raw values. Every failure
+    is a capability gap → NotImplementedError ('unsupported'), never
+    ValueError ('corrupt'), so quarantine routing stays uniform."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # codec libs absent in this container
+        raise NotImplementedError(
+            f"non-baseline {fmt} decode requires Pillow (not installed); "
+            f"{hint}"
+        ) from e
+    try:
+        img = Image.open(io.BytesIO(payload))
+        if img.mode not in ("I;16", "I", "L"):
+            img = img.convert("L")
+        arr = np.asarray(img, dtype=np.uint16)
+        if img.mode == "L":
+            arr = arr * np.uint16(257)
+        return arr
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(
+            f"{fmt} profile unsupported by the Pillow fallback: {e}"
+        ) from e
+
+
 def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one band payload → uint16 (h, w). Vector-friendly: call per
     row *inside* an Arrow batch, never as a row-at-a-time Python UDF."""
@@ -402,39 +436,11 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         try:
             arr = decode_png_u16(payload)  # stdlib baseline profile
         except NotImplementedError:
-            # non-baseline PNG (colour, interlaced, <16-bit) → optional
-            # Pillow, mirroring the tiff branch (ADVICE r3: this branch
-            # used to raise even with Pillow installed)
-            try:
-                import io
-
-                from PIL import Image  # noqa: PLC0415
-            except ImportError as e:  # codec libs absent in this container
-                raise NotImplementedError(
-                    "non-baseline png decode requires Pillow (not "
-                    "installed); grayscale 16-bit non-interlaced decodes "
-                    "stdlib-only"
-                ) from e
-            try:
-                img = Image.open(io.BytesIO(payload))
-                if img.mode not in ("I;16", "I", "L"):
-                    # color → luma, matching the stdlib path's grayscale
-                    # contract (a raw RGB array would fail the shape
-                    # check below and misclassify as corrupt)
-                    img = img.convert("L")
-                arr = np.asarray(img, dtype=np.uint16)
-                if img.mode == "L":
-                    # same ×257 8→16-bit expansion as the jpeg fallback:
-                    # the same scene stored 8-bit png vs jpeg must land in
-                    # the same u16 range (ADVICE r4); true 16-bit modes
-                    # (I;16 / I) keep raw values
-                    arr = arr * np.uint16(257)
-            except NotImplementedError:
-                raise
-            except Exception as e:
-                raise NotImplementedError(
-                    f"png profile unsupported by the Pillow fallback: {e}"
-                ) from e
+            # non-baseline PNG (colour, interlaced) → optional Pillow
+            arr = _pillow_gray_u16(
+                payload, "png",
+                "grayscale 8/16-bit non-interlaced decodes stdlib-only",
+            )
         if arr.shape != (h, w):
             raise ValueError(
                 f"png dimensions {arr.shape} != metadata ({h}, {w})"
@@ -444,39 +450,19 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
 
         try:
-            # stdlib baseline: grayscale AND YCbCr 4:4:4 (luma out)
+            # stdlib: gray + YCbCr 4:4:4/4:2:2/4:2:0 + DRI (luma out).
+            # NB a DRI/RSTn mismatch raises ValueError = 'corrupt' ON
+            # PURPOSE (conformant encoders never emit one; a mismatch
+            # means truncation/desync) — it deliberately does NOT fall
+            # through to Pillow, which would mask corruption.
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
             # non-baseline profile (progressive, 12-bit, sampling
-            # factors >2) → optional Pillow, same policy as tiff/png
-            # (gray, 4:4:4/4:2:2/4:2:0 color, DRI restarts are stdlib)
-            try:
-                import io
-
-                from PIL import Image  # noqa: PLC0415
-            except ImportError as e:  # codec libs absent in this container
-                raise NotImplementedError(
-                    "non-baseline jpeg decode requires Pillow (not "
-                    "installed); grayscale baseline sequential decodes "
-                    "stdlib-only"
-                ) from e
-            try:
-                # luma via convert('L') — works for gray AND color — then
-                # the same ×257 8→16-bit expansion the stdlib path applies
-                # (a raw-value fallback would differ ~257× downstream)
-                px8 = np.asarray(
-                    Image.open(io.BytesIO(payload)).convert("L"),
-                    dtype=np.uint16,
-                )
-            except NotImplementedError:
-                raise
-            except Exception as e:
-                # Pillow conversion failures are capability gaps, not data
-                # corruption — classify 'unsupported', not 'corrupt'
-                raise NotImplementedError(
-                    f"jpeg profile unsupported by the Pillow fallback: {e}"
-                ) from e
-            arr = px8 * np.uint16(257)
+            # factors >2, Adobe-RGB) → optional Pillow
+            arr = _pillow_gray_u16(
+                payload, "jpeg",
+                "baseline sequential gray/YCbCr decodes stdlib-only",
+            )
         if arr.shape != (h, w):
             raise ValueError(
                 f"jpeg dimensions {arr.shape} != metadata ({h}, {w})"
@@ -486,35 +472,13 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         try:
             arr = decode_tiff_u16(payload)  # stdlib baseline profile
         except NotImplementedError:
-            # exotic variant (tiles, LZW/JPEG, RGB, BigTIFF) → optional Pillow
-            try:
-                import io
-
-                from PIL import Image  # noqa: PLC0415
-            except ImportError as e:  # codec libs absent in this container
-                raise NotImplementedError(
-                    "non-baseline tiff decode requires Pillow (not installed); "
-                    "baseline grayscale strips (none/deflate) decode stdlib-only"
-                ) from e
-            try:
-                img = Image.open(io.BytesIO(payload))
-                if img.mode not in ("I;16", "I", "L"):
-                    img = img.convert("L")
-                arr = np.asarray(img, dtype=np.uint16)
-                if img.mode == "L":
-                    # ×257 8→16-bit expansion, same policy as png/jpeg
-                    # fallbacks (ADVICE r4); true 16-bit modes keep raw
-                    # values
-                    arr = arr * np.uint16(257)
-            except NotImplementedError:
-                raise
-            except Exception as e:
-                # Pillow failures are capability gaps → 'unsupported',
-                # not 'corrupt' — same classification as the png/jpeg
-                # fallbacks so quarantine routing stays uniform
-                raise NotImplementedError(
-                    f"tiff profile unsupported by the Pillow fallback: {e}"
-                ) from e
+            # exotic variant (tiles, LZW/JPEG, RGB, BigTIFF) → optional
+            # Pillow
+            arr = _pillow_gray_u16(
+                payload, "tiff",
+                "baseline grayscale strips (none/deflate) decode "
+                "stdlib-only",
+            )
         if arr.shape != (h, w):
             raise ValueError(
                 f"tiff dimensions {arr.shape} != metadata ({h}, {w})"
