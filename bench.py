@@ -451,6 +451,14 @@ def run_skew_join_worker(
             salt=8,
             probe_id="image_id",
         ),
+        # control arm: the SAME shuffle join with no salt — isolates what
+        # the salt (vs AQE's runtime skew split, which stays on) buys
+        "within_unsalted": within_distance_join(
+            images,
+            geotables.stations(spark, SF_DIR),
+            25_000.0,
+            broadcast_build=False,
+        ),
         # partitioned-cogroup DEM strategy: probe and DEM co-partitioned
         # on (tile, salt) — probe-side hot tiles split by coordinate hash
         "elevation_part": elevation_join(
@@ -507,7 +515,7 @@ def run_skew_joins() -> None:
         "uniform": results["uniform"],
         "hot": results["hot"],
     }
-    for job in ("within_salted", "elevation_part"):
+    for job in ("within_salted", "within_unsalted", "elevation_part"):
         rec[f"{job}_slowdown"] = round(
             results["hot"][job] / results["uniform"][job], 3
         )
@@ -521,9 +529,10 @@ def run_skew_joins() -> None:
             f"| job | uniform sec | hot sec | slowdown (hot/uniform) |\n"
             f"|---|---|---|---|\n"
             + "".join(
-                f"| {job} (salt=8) | {results['uniform'][job]} "
+                f"| {job} | {results['uniform'][job]} "
                 f"| {results['hot'][job]} | {rec[f'{job}_slowdown']} |\n"
-                for job in ("within_salted", "elevation_part")
+                for job in ("within_salted", "within_unsalted",
+                            "elevation_part")
             )
             + "\nThese are the two joins whose shuffle key IS geographic "
             "(probe cell / DEM tile) — the arm the r4 skew table could "
