@@ -4,12 +4,19 @@
 Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
   {"metric": ..., "value": <total sec>, "unit": "sec",
+   "guard_total": <sec — sum of medians ≥ the 0.1 s regression floor>,
    "queries": {name: sec}, "sf": ..., "throughput_img_per_sec": ...}
 
---scaling: runs the identical flagship enrichment job at local[8] and
-local[32] on the same input and reports both throughputs + scaling
-efficiency (the BASELINE.json two-cluster-size criterion, evidenced via two
-parallelism levels per the sandbox rule), appending results to BENCH.md.
+Evidence modes (each appends its table to BENCH.md):
+--scaling     identical job at two taskset-pinned core counts
+              ($SPARK_GRAFT_SCALE_LO/_HI, evidence pair 2/8) → scaling
+              efficiency (the BASELINE.json two-cluster-size criterion,
+              evidenced via two parallelism levels per the sandbox rule)
+--skew        flagship + cell aggregation, uniform vs 50%-on-one-point
+--skew-joins  the shuffle-strategy spatial joins (salted + unsalted
+              control) on the same hot fixture
+--dedup-scale MinHash-LSH→pairs→CC chain at ≥1M docs, CC round counts
+              (label-prop vs star) incl. a high-diameter chain arm
 """
 
 from __future__ import annotations
