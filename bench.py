@@ -5,7 +5,10 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "guard_total": <sec — sum of medians ≥ the 0.1 s regression floor>,
-   "queries": {name: sec}, "sf": ..., "throughput_img_per_sec": ...}
+   "queries": {name: sec}, "sf": ..., "throughput_img_per_sec": ...,
+   "load_start"/"load_end": <1-min loadavg stamps>,
+   "quiet_wait_sec": <bounded pre-bench quiet-gate wait>,
+   "retried": {name: extra_runs}  # noise-triggered retries (median>1.5x min)}
 
 Evidence modes (each appends its table to BENCH.md):
 --scaling     identical job at two taskset-pinned core counts
@@ -70,6 +73,37 @@ def _median(xs: list[float]) -> float:
     return statistics.median(xs)
 
 
+def _load1() -> float:
+    """1-minute load average (-1.0 if the platform can't report it)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
+def _quiet_gate() -> float:
+    """Bounded wait for the 1-min load average to fall below the quiet
+    threshold (VERDICT r5 #1: the driver runs the headline bench
+    unattended, exactly when manual quiet-gating can't happen; the r5
+    record inflated ~21% under a co-tenant burst). Returns the seconds
+    actually waited — recorded in the JSON so a still-noisy record is
+    self-diagnosing. The wait is capped so an unlucky sustained co-tenant
+    load can never hang the driver's bench step."""
+    thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
+    t0 = time.time()
+    while _load1() > thresh and time.time() - t0 < budget:
+        time.sleep(5)
+    return round(time.time() - t0, 1)
+
+
+def _best_median(runs: list[float], reps: int) -> float:
+    """Median of the `reps` fastest runs. With no retries this is the
+    plain median; after a noise-triggered retry it converges to the
+    quiet-machine median while tmax still records the outlier."""
+    return _median(sorted(runs)[:reps])
+
+
 def run_default() -> None:
     """Headline bench. Per VERDICT r3 #4 the recorded per-query number is
     the MEDIAN of 3 cold runs (each run re-builds the DataFrame, so the
@@ -77,9 +111,21 @@ def run_default() -> None:
     Python workers — persists, as it did for prior rounds' single cold
     runs, keeping the series comparable). min/max accompany it so a
     co-tenant noise spike is visible in the driver file itself instead of
-    needing BENCH.md footnotes."""
+    needing BENCH.md footnotes.
+
+    Round-6 load accounting (VERDICT r5 #1): a bounded quiet-gate before
+    the session starts, os.getloadavg() stamps at start/end, and a
+    noise-triggered retry — a query whose median exceeds 1.5x its own min
+    (the co-tenant-burst signature: min is a clean run, median is not)
+    gets up to SPARK_GRAFT_BENCH_RETRIES extra cold runs, and the
+    recorded median is taken over the `reps` fastest runs. All raw
+    evidence stays in the JSON: tmax keeps the outlier, `retried` lists
+    which queries needed extra runs, and the load stamps let a reader
+    judge the record without BENCH.md narrative."""
     from tiff_enrichment_pipeline_spark.queries import QUERIES
 
+    quiet_wait = _quiet_gate()
+    load_start = _load1()
     spark = build_session(CPUS)
     n_images = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
@@ -96,10 +142,13 @@ def run_default() -> None:
         "within_radius", "zonal_elevation", "stratified_sample",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    noise_ratio = 1.5  # median > 1.5x min == co-tenant-burst signature
     times: dict[str, float] = {}
     tmin: dict[str, float] = {}
     tmax: dict[str, float] = {}
     steady: dict[str, float] = {}
+    retried: dict[str, int] = {}
 
     # steady-state flagship throughput: build plan once, warm up (JIT,
     # Python workers, broadcasts), then median-of-reps timed runs
@@ -110,7 +159,18 @@ def run_default() -> None:
         t0 = time.time()
         _noop_write(flag_df)
         flag_runs.append(time.time() - t0)
-    t_flag = _median(flag_runs)
+    extra = 0
+    while (
+        extra < max_retries
+        and _best_median(flag_runs, reps) > noise_ratio * min(flag_runs)
+    ):
+        t0 = time.time()
+        _noop_write(flag_df)
+        flag_runs.append(time.time() - t0)
+        extra += 1
+    if extra:
+        retried["enrich_flagship"] = extra
+    t_flag = _best_median(flag_runs, reps)
     times["enrich_flagship"] = steady["enrich_flagship"] = round(t_flag, 3)
     tmin["enrich_flagship"] = round(min(flag_runs), 3)
     tmax["enrich_flagship"] = round(max(flag_runs), 3)
@@ -118,12 +178,26 @@ def run_default() -> None:
     for name in headline:
         cold_runs = []
         df = None
-        for _ in range(reps):
+
+        def _cold_run():
+            nonlocal df
             df = QUERIES[name](spark, SF_DIR)  # fresh plan → cold run
             t0 = time.time()
             _noop_write(df)
             cold_runs.append(time.time() - t0)
-        times[name] = round(_median(cold_runs), 3)
+
+        for _ in range(reps):
+            _cold_run()
+        extra = 0
+        while (
+            extra < max_retries
+            and _best_median(cold_runs, reps) > noise_ratio * min(cold_runs)
+        ):
+            _cold_run()
+            extra += 1
+        if extra:
+            retried[name] = extra
+        times[name] = round(_best_median(cold_runs, reps), 3)
         tmin[name] = round(min(cold_runs), 3)
         tmax[name] = round(max(cold_runs), 3)
         # steady state: re-execute the last (already-run) plan
@@ -148,6 +222,13 @@ def run_default() -> None:
                 "value": total,
                 "unit": "sec",
                 "reps": reps,
+                "load_start": load_start,
+                "load_end": _load1(),
+                "quiet_wait_sec": quiet_wait,
+                "quiet_load_threshold": float(
+                    os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0")
+                ),
+                "retried": retried,
                 "guard_floor_sec": guard_floor,
                 "guard_total": guard_total,
                 "n_below_floor": sum(
@@ -619,7 +700,13 @@ def run_dedup_scale() -> None:
         n_clusters = cc.filter(F.col("node") == F.col("comp")).count()
         rec[f"cc_{name}_sec"] = round(time.time() - t0, 3)
         rec[f"cc_{name}_rounds"] = rounds[0] if rounds else None
-        rec["n_clusters"] = n_clusters
+        # per-variant (ADVICE r5): a label-prop/star cluster-count
+        # disagreement is the most interesting possible signal — don't
+        # let the second variant overwrite the first's count
+        rec[f"cc_{name}_clusters"] = n_clusters
+    rec["n_clusters"] = rec["cc_star_clusters"]
+    if rec["cc_labelprop_clusters"] != rec["cc_star_clusters"]:
+        rec["cc_clusters_disagree"] = True
     # deep-chain arm: real near-dup clusters are shallow (both variants
     # converge in ~2 rounds above), so the O(log² n) star claim needs a
     # HIGH-DIAMETER graph — chains of `chain_len` nodes at the same total
