@@ -577,3 +577,30 @@ def test_jpeg_restart_intervals():
     enc[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker mismatch"):
         jpeg.decode_jpeg_gray(bytes(enc))
+
+
+def test_jpeg_sos_component_selector_validated():
+    """ADVICE r5: the SOS scan-header component selectors (Cs ids) must be
+    validated against the SOF component list — tables are zipped
+    positionally, so a reordered or unknown Cs id would silently decode
+    with the wrong quant/huffman tables instead of erroring."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rgb = np.stack(
+        [(127 + 80 * np.sin(xx / 9.0)).clip(0, 255)] * 3, axis=-1
+    ).astype(np.uint8)
+    enc = bytearray(jpeg.encode_jpeg_color(rgb, quality=92))
+    ref = jpeg.decode_jpeg_gray(bytes(enc))
+    j = enc.find(b"\xff\xda")
+    # SOS body: len(2) ns(1) then (Cs, Td/Ta) pairs — swap Cs1/Cs2
+    cs1, cs2 = enc[j + 5], enc[j + 7]
+    enc[j + 5], enc[j + 7] = cs2, cs1
+    with pytest.raises(ValueError, match="component selector"):
+        jpeg.decode_jpeg_gray(bytes(enc))
+    # unknown selector likewise errors
+    enc[j + 5], enc[j + 7] = cs1, cs2
+    assert np.array_equal(jpeg.decode_jpeg_gray(bytes(enc)), ref)
+    enc[j + 5] = 9
+    with pytest.raises(ValueError, match="component selector"):
+        jpeg.decode_jpeg_gray(bytes(enc))

@@ -656,7 +656,21 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "jpeg non-interleaved multi-scan (Ns != Nf)"
                 )
-            # component order in the scan header, each with (dc, ac) ids
+            # component order in the scan header, each with (dc, ac) ids.
+            # T.81 B.2.3 mandates frame (SOF) order for interleaved scans;
+            # the tables below are zipped positionally with the SOF
+            # component list, so a reordered or unknown Cs id would
+            # silently decode with the wrong quant/huffman tables —
+            # validate each selector against the SOF id at that position
+            # and error instead (ADVICE r5)
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                if cs != sof[2][i][0]:
+                    raise ValueError(
+                        f"jpeg SOS component selector {cs} at scan "
+                        f"position {i} does not match SOF component id "
+                        f"{sof[2][i][0]} (T.81 B.2.3 frame order)"
+                    )
             scan_tabs = [
                 (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)
@@ -721,8 +735,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     if ncomp == 1:
         px8 = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint16)
         return px8 * 257
-    # YCbCr -> RGB (JFIF full-range 601) -> ITU-R 601 luma, matching what
-    # the Pillow fallback's convert('L') produces for the same payload
+    # YCbCr -> RGB (JFIF full-range 601) -> ITU-R 601 luma, APPROXIMATING
+    # the Pillow fallback's convert('L'): chroma upsampling above is
+    # nearest-neighbor replication while libjpeg uses fancy (interpolated)
+    # upsampling, so subsampled payloads agree only to ~PSNR>=40dB (the
+    # test gate), NOT bit-exactly; 4:4:4 and grayscale are exact
     y = full[0] + 128.0
     cb = full[1]
     cr = full[2]
