@@ -8,7 +8,10 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
    "queries": {name: sec}, "sf": ..., "throughput_img_per_sec": ...,
    "load_start"/"load_end": <1-min loadavg stamps>,
    "quiet_wait_sec": <bounded pre-bench quiet-gate wait>,
-   "retried": {name: extra_runs}  # noise-triggered retries (median>1.5x min)}
+   "retried": {name: extra_runs}, # noise-triggered retries (median>1.5x min)
+   "calib_gemm_sec"/"calib_spark_sec": <fixed-work machine-speed probes —
+       scale totals by the calib ratio across rounds before calling a
+       delta a regression; see _calibrate for the r6 host-slowdown case>}
 
 Evidence modes (each appends its table to BENCH.md):
 --scaling     identical job at two taskset-pinned core counts
@@ -104,6 +107,50 @@ def _best_median(runs: list[float], reps: int) -> float:
     return _median(sorted(runs)[:reps])
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-work machine-speed probes, recorded in the headline JSON so
+    records taken under different HOST conditions are comparable.
+
+    Round-6 finding: loadavg/steal stamps are not enough — a control run
+    of the UNCHANGED r5-close code measured knn_weather at 2.0-2.3 s
+    steady on an idle-by-loadavg VM where the r5 record (taken under
+    visible co-tenant load!) read 0.964 s, i.e. the host itself (sibling
+    VMs sharing DRAM bandwidth / SMT siblings) can halve effective
+    per-core throughput with zero guest-visible load or steal time.
+    These two probes pin the machine state in-band: `calib_gemm_sec` is
+    a DRAM+FPU-bound numpy matmul (the same resource the chord-GEMM kNN
+    and raster kernels burn), `calib_spark_sec` a JVM-side all-core
+    range aggregation (what the pure-Catalyst queries burn). Each is
+    min-of-3 of a fixed workload — scale a round's totals by the calib
+    ratio before calling a delta a regression."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1500, 1500))
+    b = rng.random((1500, 1500))
+    gemm = min(
+        _timed(lambda: [a @ b for _ in range(4)]) for _ in range(3)
+    )
+    jvm = min(
+        _timed(
+            lambda: spark.range(200_000_000)
+            .selectExpr("sum(id * 2 + 1) s")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {
+        "calib_gemm_sec": round(gemm, 3),
+        "calib_spark_sec": round(jvm, 3),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def run_default() -> None:
     """Headline bench. Per VERDICT r3 #4 the recorded per-query number is
     the MEDIAN of 3 cold runs (each run re-builds the DataFrame, so the
@@ -127,6 +174,7 @@ def run_default() -> None:
     quiet_wait = _quiet_gate()
     load_start = _load1()
     spark = build_session(CPUS)
+    calib = _calibrate(spark)
     n_images = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
     headline = [
@@ -228,6 +276,7 @@ def run_default() -> None:
                 "quiet_load_threshold": float(
                     os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0")
                 ),
+                **calib,
                 "retried": retried,
                 "guard_floor_sec": guard_floor,
                 "guard_total": guard_total,
