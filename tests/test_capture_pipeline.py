@@ -102,3 +102,38 @@ def test_entry_smoke(spark):
     assert "elevation" in df.columns
     enriched = df.filter(F.col("enrich_status") == "enriched").count()
     assert enriched > 0
+
+
+def test_capture_rel_slice_matches_full(spark):
+    """capture_pipeline_rel is a SLICE of the full capture pipeline, not a
+    parallel implementation: its Catalyst-derived veg_pct/dense_veg_pct
+    must equal process_capture_group's to the bit, and its packed-u16
+    aggregates must equal the same stats computed from the full
+    pipeline's ndvi_packed BYTES — proving the skipped alignment step is
+    the identity it's documented to be."""
+    import numpy as np
+
+    from tiff_enrichment_pipeline_spark import queries as Q
+    from tiff_enrichment_pipeline_spark.fixtures import band_rows_from_orders
+    from tiff_enrichment_pipeline_spark.raster.udfs import process_captures
+
+    sf = "/root/testdata/sf0.001"
+    rel = {
+        r["capture_id"]: r
+        for r in Q.QUERIES["capture_pipeline_rel"](spark, sf).collect()
+    }
+    full = {
+        r["capture_id"]: r
+        for r in process_captures(band_rows_from_orders(spark, sf)).collect()
+    }
+    assert rel.keys() == full.keys() and len(rel) > 0
+    for cap, r in rel.items():
+        f = full[cap]
+        assert f["status"] == "completed" and r["status"] == "completed"
+        assert r["veg_pct"] == f["veg_pct"], cap
+        assert r["dense_veg_pct"] == f["dense_veg_pct"], cap
+        packed = np.frombuffer(f["ndvi_packed"], dtype=np.uint16)
+        assert r["n_px"] == packed.size
+        assert r["ndvi_packed_sum"] == int(packed.sum(dtype=np.int64)), cap
+        assert r["ndvi_packed_min"] == int(packed.min()), cap
+        assert r["ndvi_packed_max"] == int(packed.max()), cap

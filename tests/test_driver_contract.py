@@ -68,7 +68,7 @@ FAMILIES: dict[str, set[str]] = {
     "write_clustering": {"zorder_encode", "hilbert_encode"},
     "sampling_splits": {"train_split", "stratified_sample"},
     "incremental_dedup": {"incremental_dedup"},
-    "raster_pipeline": {"capture_pipeline"},
+    "raster_pipeline": {"capture_pipeline", "capture_pipeline_rel"},
     "integrity_scan": {"image_integrity", "image_integrity_rel"},
     "decode_quarantine": {"decode_quarantine"},
     "multimodal": {"multimodal_features", "multimodal_features_rel"},
@@ -76,7 +76,7 @@ FAMILIES: dict[str, set[str]] = {
 
 # in-cap entries allowed to have no oracle (pixel ops are not
 # SQL-expressible; values golden-pinned in pytest instead)
-ROWS_ONLY_IN_CAP = {"capture_pipeline"}
+ROWS_ONLY_IN_CAP = set()  # r6: capture_pipeline_rel closed the last one
 
 
 def test_every_family_has_an_in_cap_representative():
@@ -121,4 +121,5 @@ def test_demoted_entries_stay_registered_and_paired():
     assert {n for n in past_cap if n not in ORACLES} <= {
         "percentiles_approx", "distinct_sketch", "lsh_ann", "ivf_ann",
         "ivf_ann_pruned", "image_integrity", "multimodal_features",
+        "capture_pipeline",
     }

@@ -150,6 +150,82 @@ def process_captures(images: DataFrame) -> DataFrame:
     )
 
 
+CAPTURE_NDVI_REL_SCHEMA = (
+    "capture_id string, status string, n_px long, veg_cnt long, "
+    "dense_cnt long, ndvi_packed_sum long, ndvi_packed_min int, "
+    "ndvi_packed_max int"
+)
+
+
+def capture_ndvi_rel_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """NDVI slice of the capture lifecycle as INTEGER-exact aggregates —
+    the SQL-oracle-expressible projection of ``process_capture_group``
+    (VERDICT r5 #2). Decodes the red(3)/nir(4) band payloads through the
+    real codec dispatch (raw/lossy/png/tiff — all four fixture formats;
+    png and tiff are lossless, so a SQL oracle reconstructs the same
+    pixel VALUES without reproducing the encodings), calibrates with the
+    pipeline's identity scale, computes kernels.ndvi (guarded float32)
+    and emits the vegetation-threshold counts behind veg_pct/dense_veg_pct
+    (processing/indices.py:106-117) plus sum/min/max of the u16-packed
+    index (processor.py:419 packing). All outputs are integers, so the
+    DuckDB twin matches hash-exactly; the float percentages are derived
+    in Catalyst by the caller with the same IEEE op sequence numpy uses
+    (cnt/n in float64, one multiply). Alignment is skipped: every band of
+    a capture shares one grid+geotag, so the pipeline's resample is an
+    identity — pinned against the FULL process_capture_group output by
+    tests/test_capture_pipeline.py::test_capture_rel_slice_matches_full.
+    """
+    cap = pdf["capture_id"].iloc[0]
+    out = {
+        "capture_id": cap, "status": "failed", "n_px": None,
+        "veg_cnt": None, "dense_cnt": None, "ndvi_packed_sum": None,
+        "ndvi_packed_min": None, "ndvi_packed_max": None,
+    }
+    try:
+        by_band = {int(r["band"]): r for _, r in pdf.iterrows()}
+        if not {3, 4} <= by_band.keys():
+            out["status"] = "incomplete_set"
+            return pd.DataFrame([out])
+        planes = {}
+        for b, name in ((3, "red"), (4, "nir")):
+            row = by_band[b]
+            raw = codec.decode(
+                row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
+            )
+            planes[name] = kernels.calibrate(raw, 1.0)
+        nd = kernels.ndvi(planes["nir"], planes["red"])
+        veg_mask = (nd > 0.2) & (nd <= 1.0)
+        dense_mask = (nd > 0.5) & (nd <= 1.0)
+        packed = kernels.pack_index_u16(nd)
+        out.update(
+            {
+                "status": "completed",
+                "n_px": int(nd.size),
+                "veg_cnt": int(veg_mask.sum()),
+                "dense_cnt": int(dense_mask.sum()),
+                "ndvi_packed_sum": int(packed.sum(dtype=np.int64)),
+                "ndvi_packed_min": int(packed.min()),
+                "ndvi_packed_max": int(packed.max()),
+            }
+        )
+    except Exception as e:  # same failure routing as the full pipeline
+        out["status"] = f"failed:{type(e).__name__}"
+    return pd.DataFrame([out])
+
+
+def capture_ndvi_rel(images: DataFrame) -> DataFrame:
+    """NDVI-slice aggregates per capture. Band-prunes to red/nir BEFORE
+    the capture_id shuffle — 2/5 of the payload bytes ride the exchange
+    (the scan itself already prunes the other columns)."""
+    cols = ["capture_id", "band", "bytes", "w", "h", "fmt"]
+    return (
+        images.filter(F.col("band").isin(3, 4))
+        .select(*cols)
+        .groupBy("capture_id")
+        .applyInPandas(capture_ndvi_rel_group, schema=CAPTURE_NDVI_REL_SCHEMA)
+    )
+
+
 @F.pandas_udf(DoubleType())
 def psnr_vs_q12(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
