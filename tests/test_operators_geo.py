@@ -151,10 +151,16 @@ def test_elevation_partitioned_matches_broadcast(spark):
     )
     probe_shuffles = [
         l for l in plan.splitlines()
-        if "Exchange hashpartitioning" in l and "tile_x" in l
+        if "Exchange hashpartitioning" in l and "_bucket" in l
     ]
     assert len(probe_shuffles) == 2  # probe + (small) DEM side, nothing else
     assert "_salt" in probe_shuffles[0]  # skew salt is in the shuffle key
+    # r6: the cogroup key is the COARSE (bucket, salt) pair — the raw
+    # per-tile key would cost |tiles|x salt Arrow calls (VERDICT r5 #4)
+    assert not any(
+        "Exchange hashpartitioning" in l and "tile_x" in l
+        for l in plan.splitlines()
+    )
 
 
 def test_polygon_cover_is_superset(spark):

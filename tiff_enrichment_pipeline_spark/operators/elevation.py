@@ -194,10 +194,12 @@ def _partitioned_tile_apply(
     lon: str = "lon",
     lat: str = "lat",
     salt: int = 8,
+    tile_buckets: int | None = None,
 ) -> DataFrame:
-    """Planetary-DEM strategy scaffold: co-partition probe and DEM on the
-    tile key, per-tile-group cogrouped ``applyInPandas`` with a pluggable
-    per-tile ``kernel`` — shared by the elevation and terrain operators.
+    """Planetary-DEM strategy scaffold: co-partition probe and DEM on a
+    coarse tile-bucket key, cogrouped ``applyInPandas`` that loops the
+    bucket's tiles inside ONE Arrow call — shared by the elevation and
+    terrain operators.
 
     The DEM never collects to the driver and never broadcasts — a global
     30 m DEM is TBs (reference sources usgs_3dep/nasa_srtm,
@@ -212,12 +214,28 @@ def _partitioned_tile_apply(
     replicates each grid row ×salt (4 KiB × salt — negligible) so every
     sub-group still pairs with its tile.
 
-    ``kernel(grid, lon_v, lat_v, tx, ty, tile_row) -> dict[col, values]``;
+    ``tile_buckets`` (VERDICT r5 #4): the r5 shape cogrouped on the RAW
+    tile key — |tiles|×salt pandas groups, and at ~10k groups the
+    per-group Arrow fixed cost (~1.5 ms each) dominated: 16 s vs ~1 s
+    broadcast at 300k probes. Tiles now hash into
+    ``tile_buckets`` coarse buckets (default 4×defaultParallelism/salt,
+    so ~4 tasks' worth of groups per core) and the UDF loops the
+    bucket's tiles inside one Arrow call — per-call cost amortizes over
+    |tiles|/buckets tiles while the shuffle still moves each probe row
+    and each 4 KiB grid exactly once. Skew behavior is unchanged: a hot
+    tile's probes still split across ``salt`` sub-groups (the bucket key
+    includes the salt), and bucket hashing spreads tiles uniformly.
+
+    ``kernel(grid, lon_v, lat_v, tx, ty, tile_row) -> dict[col, values]``
+    (values: arrays of the group length or broadcastable scalars);
     ``empty_fill(n) -> dict[col, values]`` for GPS-less sub-groups;
     ``out_fields``: the appended StructFields, in kernel-dict order.
     """
     from pyspark.sql.types import StructType
 
+    if tile_buckets is None:
+        par = images.sparkSession.sparkContext.defaultParallelism
+        tile_buckets = max(1, (4 * par) // max(1, salt))
     tx, ty = tile_key(F.col(lon), F.col(lat))
     keyed = images.withColumn("tile_x", tx).withColumn("tile_y", ty)
     # off-DEM probes (worldwide points, null GPS) never enter the shuffle
@@ -233,39 +251,61 @@ def _partitioned_tile_apply(
     # probe salt from the coordinates (not skew.with_salt's single identity
     # column — two coordinate columns ARE the row identity here); DEM side
     # replicated ×salt by the shared helper so the convention stays single
+    bucket = F.pmod(
+        F.xxhash64(F.col("tile_x"), F.col("tile_y")), F.lit(tile_buckets)
+    ).cast("int")
     probe = on_dem.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
-    )
-    dem_s = replicate_build(dem_tiles, salt)
+    ).withColumn("_bucket", bucket)
+    dem_s = replicate_build(dem_tiles, salt).withColumn("_bucket", bucket)
 
+    tmp_cols = ("_salt", "_bucket")
     out_schema = StructType(
-        [f for f in probe.schema.fields if f.name != "_salt"] + list(out_fields)
+        [f for f in probe.schema.fields if f.name not in tmp_cols]
+        + list(out_fields)
     )
-    probe_cols = [f.name for f in probe.schema.fields if f.name != "_salt"]
+    probe_cols = [
+        f.name for f in probe.schema.fields if f.name not in tmp_cols
+    ]
 
     def _apply_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out = left[probe_cols].copy()
-        if right.empty:
-            for name, vals in empty_fill(len(out)).items():
-                out[name] = vals
-            return out
-        r = right.iloc[0]
-        g = (
-            np.frombuffer(r["grid"], dtype="<f4")
-            .reshape(DEM_N, DEM_N)
-            .astype(np.float64)
-        )
-        lon_v = left[lon].to_numpy(np.float64, na_value=np.nan)
-        lat_v = left[lat].to_numpy(np.float64, na_value=np.nan)
-        for name, vals in kernel(
-            g, lon_v, lat_v, int(r["tile_x"]), int(r["tile_y"]), r
-        ).items():
-            out[name] = vals
+        n = len(out)
+        # fill-first, then overwrite per tile: GPS-less rows keep the
+        # fill, and dtype-stable numpy buffers take per-tile slices
+        buf = {
+            name: pd.Series(vals).to_numpy()
+            for name, vals in empty_fill(n).items()
+        }
+        if not right.empty:
+            grids = {
+                (int(r["tile_x"]), int(r["tile_y"])): r
+                for _, r in right.iterrows()
+            }
+            lon_all = left[lon].to_numpy(np.float64, na_value=np.nan)
+            lat_all = left[lat].to_numpy(np.float64, na_value=np.nan)
+            for (txv, tyv), rows in left.groupby(
+                ["tile_x", "tile_y"], sort=False, dropna=False
+            ).indices.items():
+                r = grids.get((int(txv), int(tyv)))
+                if r is None:  # off-DEM rows are pre-routed; belt+braces
+                    continue
+                g = (
+                    np.frombuffer(r["grid"], dtype="<f4")
+                    .reshape(DEM_N, DEM_N)
+                    .astype(np.float64)
+                )
+                for name, vals in kernel(
+                    g, lon_all[rows], lat_all[rows], int(txv), int(tyv), r
+                ).items():
+                    buf[name][rows] = vals  # scalar kernels broadcast
+        for name in buf:
+            out[name] = buf[name]
         return out
 
-    grouped = probe.groupBy("tile_x", "tile_y", "_salt").cogroup(
-        dem_s.groupBy("tile_x", "tile_y", "_salt")
+    grouped = probe.groupBy("_bucket", "_salt").cogroup(
+        dem_s.groupBy("_bucket", "_salt")
     )
     sampled = grouped.applyInPandas(_apply_group, out_schema)
     off = off_dem.select(
