@@ -807,6 +807,126 @@ def run_dedup_scale() -> None:
     spark.stop()
 
 
+def _replicated_docs(spark, mult: int):
+    """The --dedup-scale corpus synthesis, shared by the profiler."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n0 = docs.count()
+    if mult > 1:
+        docs = (
+            docs.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                (F.col("doc_id") * mult + F.col("_r")).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(
+                            w, F.lit("_r"), F.col("_r").cast("string")
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    return docs, n0 * mult
+
+
+def run_dedup_profile() -> None:
+    """Stage attribution for the 1M-doc LSH pairs cost (VERDICT r5 #5):
+    the r5 record has pairs at 131 s of the 147 s chain with no
+    breakdown. Materializes each stage behind a localCheckpoint barrier
+    and times: corpus synthesis, shingle-explode+hash (probe aggregate —
+    forces the md5 map work without the 8 permutation minima), the full
+    minhash signature aggregate, the band table, the band self-join
+    pre-distinct, and the pair distinct. Barriered stage sums exceed the
+    fused pipeline's wall time (the fused plan never materializes the
+    intermediates) — the RATIOS are the signal, not the absolute sum."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        band_table,
+        minhash_signature_df,
+    )
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        md5_prefix_long,
+        word_shingles,
+    )
+
+    mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "200"))
+    spark = build_session(CPUS)
+    rec: dict = {"metric": "dedup_pairs_profile", "sf": SF_DIR,
+                 "load_start": _load1()}
+
+    t0 = time.time()
+    docs, n_docs = _replicated_docs(spark, mult)
+    docs = docs.localCheckpoint()
+    docs.count()
+    rec["n_docs"] = n_docs
+    rec["synth_sec"] = round(time.time() - t0, 3)
+
+    # probe: shingle explode + md5 WITHOUT the minima aggregate
+    t0 = time.time()
+    sh = word_shingles(F.col("text"), 3)
+    ex = docs.select("doc_id", F.explode_outer(sh).alias("_s"))
+    probe = ex.agg(
+        F.count("_s").alias("n_shingles"),
+        F.sum(md5_prefix_long(F.col("_s")) % MINHASH_P).alias("_chk"),
+    ).collect()[0]
+    rec["n_shingles"] = probe["n_shingles"]
+    rec["shingle_hash_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sig = minhash_signature_df(docs).localCheckpoint()
+    sig.count()
+    rec["signature_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    bt = band_table(sig).localCheckpoint()
+    rec["n_band_rows"] = bt.count()
+    rec["band_table_sec"] = round(time.time() - t0, 3)
+
+    a = bt.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = bt.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    joined = a.join(b, ["band", "band_key"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    t0 = time.time()
+    rec["n_candidates_predistinct"] = joined.count()
+    rec["band_join_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    rec["n_pairs"] = joined.select("doc_a", "doc_b").distinct().count()
+    rec["join_plus_distinct_sec"] = round(time.time() - t0, 3)
+    rec["load_end"] = _load1()
+    print(json.dumps(rec))
+    with open(REPO / "BENCH.md", "a") as f:
+        f.write(
+            f"\n## LSH pairs stage profile "
+            f"({time.strftime('%Y-%m-%d %H:%M:%S')}, {SF_DIR} ×{mult}, "
+            f"local[{CPUS}], {n_docs} docs, "
+            f"{rec['n_shingles']} shingles)\n\n"
+            f"| stage | sec |\n|---|---|\n"
+            f"| corpus synthesis (checkpointed) | {rec['synth_sec']} |\n"
+            f"| shingle explode + md5 (no minima agg) "
+            f"| {rec['shingle_hash_sec']} |\n"
+            f"| full minhash signature agg | {rec['signature_sec']} |\n"
+            f"| band table | {rec['band_table_sec']} |\n"
+            f"| band self-join pre-distinct "
+            f"({rec['n_candidates_predistinct']} cands) "
+            f"| {rec['band_join_sec']} |\n"
+            f"| join + pair distinct ({rec['n_pairs']} pairs) "
+            f"| {rec['join_plus_distinct_sec']} |\n"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
@@ -827,5 +947,7 @@ if __name__ == "__main__":
         run_skew_joins()
     elif "--dedup-scale" in sys.argv:
         run_dedup_scale()
+    elif "--dedup-profile" in sys.argv:
+        run_dedup_profile()
     else:
         run_default()
