@@ -126,16 +126,25 @@ def fingerprint_sql(text: str) -> str:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles joined by single spaces (MinHash input).
 
-    Guarded for <n-token docs: Spark's ``sequence(1, 0)`` counts DOWN
-    (yielding invalid indices under ANSI ``element_at``), so short docs
-    short-circuit to an empty array."""
+    Implementation (r6): overlapping shingles via a zero-width-lookahead
+    ``regexp_extract_all`` over the whitespace-normalized text — the
+    pattern anchors at each word start (``^`` or a preceding space) and
+    the lookahead group captures that word plus the next n-1. Values are
+    identical to the earlier ``transform(sequence, concat_ws(element_at
+    ...))`` formulation (0 diffs over the full sf0.1 corpus, n∈{2,3,5}
+    edge fixtures incl. null/empty/short/regex-special docs), but the
+    regex is a codegen'd scalar function while higher-order-function
+    lambdas are interpreted per element: measured 120.1 s → 3.7 s for
+    52M shingles over 1M docs (32.5×; BENCH.md r6 profile) — shingle
+    construction was 97% of the whole LSH candidate-pairs stage.
+
+    Guarded for <n-token docs (and NULL text, where the regex would
+    yield NULL instead of the empty array): short docs short-circuit to
+    an empty array exactly as before."""
     t = tokens(text)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=(\S+(?: \S+){%d}))" % (n - 1)
+    shingles = F.regexp_extract_all(norm, F.lit(pat), 1)
     return F.when(F.size(t) >= n, shingles).otherwise(
         F.array().cast("array<string>")
     )
