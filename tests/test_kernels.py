@@ -381,12 +381,17 @@ def test_jpeg_baseline_roundtrip_and_gates():
     nat = jpeg._quant_table(92)
     assert np.array_equal(stored, nat[jpeg._ZIGZAG].astype(np.uint8))
 
-    # gates: progressive SOF2 refuses with the stdlib-path
-    # NotImplementedError (decode() adds the Pillow gate); 3-component
-    # 4:4:4 now decodes stdlib-side (test below)
+    # gates: SOF2 now DECODES (r6) — flipping a baseline file's marker
+    # to SOF2 makes its full-band Ss=0..Se=63 scan structurally invalid
+    # for progressive, so it must error as corrupt (ValueError), never
+    # misdecode; arithmetic coding (SOF9) keeps the NotImplementedError
+    # Pillow gate; 3-component 4:4:4 decodes stdlib-side (test below)
     prog = bytearray(enc)
     j = prog.find(b"\xff\xc0")
     prog[j + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
+        jpeg.decode_jpeg_gray(bytes(prog))
+    prog[j + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
         jpeg.decode_jpeg_gray(bytes(prog))
     with pytest.raises(ValueError, match="SOI"):
@@ -604,3 +609,66 @@ def test_jpeg_sos_component_selector_validated():
     enc[j + 5] = 9
     with pytest.raises(ValueError, match="component selector"):
         jpeg.decode_jpeg_gray(bytes(enc))
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """Progressive (SOF2) decode, round 6: entropy coding is lossless, so
+    a progressive encode at quality q must decode BIT-IDENTICALLY to the
+    baseline encode at the same q — across gray/color, subsampling,
+    odd dims (incl. the real<padded 4:2:0 block-grid case), and both
+    scan scripts (spectral-selection-only and successive-approximation,
+    the latter exercising DC/AC refinement + EOBRUN correction bits)."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+    from tiff_enrichment_pipeline_spark.raster.codec import psnr_db
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    band = (1000 + 20000 * np.abs(np.sin(xx / 17.0) * np.cos(yy / 11.0))).astype(
+        np.uint16
+    )
+    rng = np.random.default_rng(7)
+    grays = [band, band[:61, :59], band[:9, :17],
+             rng.integers(0, 65535, (48, 80)).astype(np.uint16)]
+    for b in grays:
+        for q in (92, 75):
+            base = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(b, quality=q))
+            for succ in (False, True):
+                enc = jpeg.encode_jpeg_gray_progressive(
+                    b, quality=q, successive=succ
+                )
+                assert np.array_equal(jpeg.decode_jpeg_gray(enc), base)
+    # smooth raster stays above the 40 dB lossy floor through progressive
+    dec = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray_progressive(band, 92))
+    assert psnr_db(band, dec) >= 40.0
+
+    rgb = np.stack([
+        (127 + 80 * np.sin(xx / 19.0)).clip(0, 255),
+        (127 + 60 * np.cos(yy / 23.0)).clip(0, 255),
+        (127 + 50 * np.sin((xx + yy) / 29.0)).clip(0, 255)],
+        axis=-1).astype(np.uint8)
+    rgb72 = rng.integers(0, 255, (72, 72, 3)).astype(np.uint8)
+    for im in (rgb, rgb72):
+        for sub in ("444", "422", "420"):
+            base = jpeg.decode_jpeg_gray(
+                jpeg.encode_jpeg_color(im, quality=92, subsampling=sub)
+            )
+            for succ in (False, True):
+                enc = jpeg.encode_jpeg_color_progressive(
+                    im, quality=92, subsampling=sub, successive=succ
+                )
+                assert np.array_equal(jpeg.decode_jpeg_gray(enc), base)
+
+
+def test_jpeg_progressive_error_paths():
+    """Progressive structural validation: unknown scan selector and a
+    multi-component AC scan must error (corrupt), not misdecode; the
+    SOF2 marker itself no longer raises NotImplementedError."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    b = (300 * (yy + xx)).astype(np.uint16)
+    enc = bytearray(jpeg.encode_jpeg_gray_progressive(b, quality=92))
+    j = enc.find(b"\xff\xda")
+    enc2 = bytearray(enc)
+    enc2[j + 5] = 9  # unknown component selector
+    with pytest.raises(ValueError, match="selector"):
+        jpeg.decode_jpeg_gray(bytes(enc2))

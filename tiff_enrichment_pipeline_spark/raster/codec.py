@@ -450,15 +450,16 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
 
         try:
-            # stdlib: gray + YCbCr 4:4:4/4:2:2/4:2:0 + DRI (luma out).
+            # stdlib: gray + YCbCr 4:4:4/4:2:2/4:2:0 + DRI (luma out),
+            # baseline SOF0 AND progressive SOF2 (r6).
             # NB a DRI/RSTn mismatch raises ValueError = 'corrupt' ON
             # PURPOSE (conformant encoders never emit one; a mismatch
             # means truncation/desync) — it deliberately does NOT fall
             # through to Pillow, which would mask corruption.
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # non-baseline profile (progressive, 12-bit, sampling
-            # factors >2, Adobe-RGB) → optional Pillow
+            # remaining exotic profiles (12-bit, arithmetic coding,
+            # sampling factors >2, Adobe-RGB) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",

@@ -11,9 +11,15 @@ engine's band contract is grayscale u16; handles restart intervals
 (DRI/RSTn — byte-aligned entropy resets with DC-predictor reset, E.2.4)
 and chroma subsampling with factors 1-2 per axis (4:2:2 and 4:2:0 — the
 dominant real-world profiles — via general h_i×v_i MCU interleave +
-replication upsample). Progressive (SOF2), 12-bit and exotic sampling
-factors stay behind the optional Pillow gate in ``codec.decode`` — same
-policy as tiled/LZW TIFF.
+replication upsample). Round 6 (VERDICT r5 stretch #6) adds PROGRESSIVE
+(SOF2, T.81 Annex G): multi-scan spectral selection + successive
+approximation with EOBRUN batching, interleaved DC scans, per-scan DHT
+updates and restart intervals — plus progressive gray/color ENCODERS as
+the test vector source (entropy coding is lossless, so a progressive
+encode decodes bit-identically to the baseline encode at the same
+quality/subsampling; pinned across shapes in tests). 12-bit, arithmetic
+coding and sampling factors >2 stay behind the optional Pillow gate in
+``codec.decode`` — same policy as tiled/LZW TIFF.
 
 Pixel convention: the engine's bands are uint16; JPEG baseline is 8-bit.
 ``encode_jpeg_gray`` stores the high byte (v >> 8); ``decode_jpeg_gray``
@@ -405,6 +411,39 @@ def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
     )
 
 
+def _color_planes(rgb: np.ndarray, quality: int, subsampling: str):
+    """RGB -> MCU-padded centered (Y, Cb, Cr) float planes + quant
+    tables + sampling geometry (shared by the baseline and progressive
+    color encoders; float op order unchanged from the r5 baseline)."""
+    h, w = rgb.shape[:2]
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hY, vY = factors[subsampling]
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = _box_downsample(cb, hY, vY)
+    cr = _box_downsample(cr, hY, vY)
+    q_lum = _quant_table(quality)
+    q_chr_nat = _quant_table(quality, base=_Q_CHR)
+    mcux = -(-w // (8 * hY))
+    mcuy = -(-h // (8 * vY))
+    planes = []
+    for p, (hi, vi) in zip((y, cb, cr), [(hY, vY), (1, 1), (1, 1)]):
+        PH, PW = mcuy * vi * 8, mcux * hi * 8
+        planes.append(
+            np.pad(
+                p, ((0, PH - p.shape[0]), (0, PW - p.shape[1])), mode="edge"
+            )
+            - 128.0
+        )
+    return planes, q_lum, q_chr_nat, (hY, vY), mcux, mcuy
+
+
 def encode_jpeg_color(
     rgb: np.ndarray,
     quality: int = 92,
@@ -423,33 +462,10 @@ def encode_jpeg_color(
     h, w, nc = rgb.shape
     if nc != 3:
         raise ValueError("encode_jpeg_color expects (h, w, 3)")
-    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
-    if subsampling not in factors:
-        raise ValueError(f"unknown subsampling {subsampling!r}")
-    hY, vY = factors[subsampling]
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    cb = _box_downsample(cb, hY, vY)
-    cr = _box_downsample(cr, hY, vY)
-
-    q_lum = _quant_table(quality)
-    q_chr_nat = _quant_table(quality, base=_Q_CHR)
-    mcux = -(-w // (8 * hY))
-    mcuy = -(-h // (8 * vY))
+    planes, q_lum, q_chr_nat, (hY, vY), mcux, mcuy = _color_planes(
+        rgb, quality, subsampling
+    )
     samps = [(hY, vY), (1, 1), (1, 1)]
-    planes = []
-    for p, (hi, vi) in zip((y, cb, cr), samps):
-        PH, PW = mcuy * vi * 8, mcux * hi * 8
-        planes.append(
-            np.pad(
-                p, ((0, PH - p.shape[0]), (0, PW - p.shape[1])), mode="edge"
-            )
-            - 128.0
-        )
     qs = [q_lum.reshape(8, 8), q_chr_nat.reshape(8, 8), q_chr_nat.reshape(8, 8)]
     dcs = [(_DC_ENC, _AC_ENC), (_CHR_DC_ENC, _CHR_AC_ENC),
            (_CHR_DC_ENC, _CHR_AC_ENC)]
@@ -502,6 +518,362 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G) — exists primarily as the test vector
+# generator for the progressive decoder: entropy coding is lossless, so a
+# progressive encode at quality q MUST decode bit-identically to the
+# baseline encode at the same q (pinned in tests/test_kernels.py).
+# --------------------------------------------------------------------------
+
+
+def _zz_blocks(plane: np.ndarray, q2d: np.ndarray) -> np.ndarray:
+    """Centered float plane (8-multiple dims) -> (bh, bw, 64) quantized
+    zigzag coefficient blocks. Per-block matmuls replicating
+    _encode_block's float op order EXACTLY — a batched einsum contracts
+    differently and flips the odd coefficient at a round-half boundary,
+    breaking the bit-identical-to-baseline contract."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _D @ blk @ _D.T
+            qc = np.round(coef / q2d).astype(np.int64)
+            out[by, bx] = qc.flatten()[_ZIGZAG]
+    return out
+
+
+def _write_prog_dc_first(w, dcs, al, dc_enc=_DC_ENC):
+    """DC first scan over raster-order DC values (one component): diffs
+    of the point-transformed (arithmetic >> Al) values."""
+    prev = 0
+    for v in dcs:
+        t = int(v) >> al
+        diff = t - prev
+        prev = t
+        cat, low = _magnitude(diff)
+        code, length = dc_enc[cat]
+        w.write(code, length)
+        if cat:
+            w.write(low, cat)
+
+
+def _write_prog_dc_refine(w, dcs, al):
+    for v in dcs:
+        w.write((int(v) >> al) & 1, 1)
+
+
+def _flush_eobrun(w, eobrun, ebits, ac_enc):
+    if eobrun:
+        r_ = eobrun.bit_length() - 1
+        code, length = ac_enc[r_ << 4]
+        w.write(code, length)
+        if r_:
+            w.write(eobrun - (1 << r_), r_)
+        for b in ebits:
+            w.write(b, 1)
+    return 0, []
+
+
+def _write_prog_ac_first(w, blocks, ss, se, al, ac_enc=_AC_ENC):
+    """AC first scan (Ah=0) with EOBRUN batching across blocks."""
+    eobrun = 0
+    for blk in blocks:
+        vals = [
+            (abs(int(v)) >> al) * (1 if v > 0 else -1)
+            for v in blk[ss : se + 1]
+        ]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _flush_eobrun(w, eobrun, [], ac_enc)
+            continue
+        eobrun, _ = _flush_eobrun(w, eobrun, [], ac_enc)
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_enc[0xF0]
+                w.write(zc, zl)
+                run -= 16
+            cat, low = _magnitude(v)
+            code, length = ac_enc[(run << 4) | cat]
+            w.write(code, length)
+            w.write(low, cat)
+            run = 0
+        if run:
+            eobrun = 1  # trailing zeros: this block's EOB starts a run
+    _flush_eobrun(w, eobrun, [], ac_enc)
+
+
+def _write_prog_ac_refine(w, blocks, ss, se, al, ac_enc=_AC_ENC):
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    (run, 1) codes; one correction bit appended for every already-nonzero
+    coefficient passed over, in exactly the order the decoder consumes
+    them (G.1.2.3 — bits follow the next emitted code, EOBRUN included)."""
+    eobrun = 0
+    ebits: list[int] = []
+    for blk in blocks:
+        q = []  # ('z',0) zero-history zero | ('b',bit) refine | ('n',sign)
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = abs(v)
+            if (a >> (al + 1)) != 0:
+                q.append(("b", (a >> al) & 1))
+            elif (a >> al) == 0:
+                q.append(("z", 0))
+            else:
+                q.append(("n", 1 if v > 0 else 0))
+        news = [j for j, (tag, _) in enumerate(q) if tag == "n"]
+        if not news:
+            eobrun += 1
+            ebits.extend(b for tag, b in q if tag == "b")
+            if eobrun == 0x7FFF:
+                eobrun, ebits = _flush_eobrun(w, eobrun, ebits, ac_enc)
+            continue
+        eobrun, ebits = _flush_eobrun(w, eobrun, ebits, ac_enc)
+        j0 = 0
+        for jn in news:
+            seg = q[j0:jn]
+            zcount = sum(1 for tag, _ in seg if tag == "z")
+            si = 0
+            while zcount > 15:
+                zc, zl = ac_enc[0xF0]
+                w.write(zc, zl)
+                consumed = 0
+                while consumed < 16:
+                    tag, b = seg[si]
+                    si += 1
+                    if tag == "z":
+                        consumed += 1
+                    else:
+                        w.write(b, 1)
+                zcount -= 16
+            code, length = ac_enc[(zcount << 4) | 1]
+            w.write(code, length)
+            w.write(q[jn][1], 1)
+            for tag, b in seg[si:]:
+                if tag == "b":
+                    w.write(b, 1)
+            j0 = jn + 1
+        tail = q[j0:]
+        if tail:
+            eobrun = 1
+            ebits = [b for tag, b in tail if tag == "b"]
+    _flush_eobrun(w, eobrun, ebits, ac_enc)
+
+
+class _SymbolRecorder(dict):
+    """Stands in for a huffman encode table during the counting pass:
+    records every symbol the scan writer asks for."""
+
+    def __init__(self):
+        super().__init__()
+        self.used: set[int] = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return (0, 1)
+
+
+def _fixed_len_table(symbols) -> tuple[list[int], list[int]]:
+    """Canonical huffman BITS/VALS giving every symbol the same length —
+    always valid (the all-ones code stays unused), trivially decodable,
+    and — unlike Annex K.4 — able to carry the EOBn symbols (r<<4, r>0)
+    progressive AC scans need, which the standard baseline table lacks."""
+    syms = sorted(symbols)
+    n = max(1, len(syms))
+    length = 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+def encode_jpeg_gray_progressive(
+    band: np.ndarray, quality: int = 92, successive: bool = True
+) -> bytes:
+    """uint16 (h, w) band -> PROGRESSIVE grayscale JFIF (SOF2).
+
+    Scan script: DC then two spectral AC bands (1-5, 6-63); with
+    ``successive`` each scan first sends bits >> 1 (Al=1) and a second
+    round of refinement scans sends the final bit — exercising every
+    decoder path (DC/AC first + refine, EOBRUN, ZRL-in-refine). Same
+    quantized coefficients as ``encode_jpeg_gray`` at the same quality,
+    so the decode is bit-identical to the baseline round trip."""
+    h, w = band.shape
+    px = (band.astype(np.uint16) >> 8).astype(np.float64)
+    qtbl = _quant_table(quality)
+    q2d = qtbl.reshape(8, 8)
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    pad = np.pad(px, ((0, H - h), (0, W - w)), mode="edge") - 128.0
+    zz = _zz_blocks(pad, q2d)
+    flat = zz.reshape(-1, 64)  # raster block order (Ns=1 scan order)
+    dcs = flat[:, 0]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qtbl[_ZIGZAG]))
+    out += _seg(
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def sos(ss, se, ah, al, tdta, writer_fn):
+        wtr = _BitWriter()
+        writer_fn(wtr)
+        return (
+            _seg(0xFFDA, bytes([1, 1, tdta, ss, se, (ah << 4) | al]))
+            + wtr.flush()
+        )
+
+    def ac_scan(write_fn, ss, se, ah, al):
+        """Counting pass -> per-scan fixed-length AC table (the EOBn
+        symbols progressive scans emit don't exist in Annex K.4) -> DHT
+        (class AC, id 1 — redefined before every scan, which also
+        exercises the decoder's between-scan table updates) -> SOS."""
+        rec = _SymbolRecorder()
+        write_fn(_BitWriter(), rec)
+        bits, vals = _fixed_len_table(rec.used)
+        enc = _build_codes(bits, vals)
+        seg = _seg(0xFFC4, bytes([0x11]) + bytes(bits) + bytes(vals))
+        return seg + sos(ss, se, ah, al, 0x01,
+                         lambda w_: write_fn(w_, enc))
+
+    first_al = 1 if successive else 0
+    out += sos(0, 0, 0, first_al, 0x00,
+               lambda w_: _write_prog_dc_first(w_, dcs, first_al))
+    for (ss, se) in ((1, 5), (6, 63)):
+        out += ac_scan(
+            lambda w_, enc, ss=ss, se=se: _write_prog_ac_first(
+                w_, flat, ss, se, first_al, ac_enc=enc),
+            ss, se, 0, first_al)
+    if successive:
+        out += sos(0, 0, 1, 0, 0x00,
+                   lambda w_: _write_prog_dc_refine(w_, dcs, 0))
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += ac_scan(
+                lambda w_, enc, ss=ss, se=se: _write_prog_ac_refine(
+                    w_, flat, ss, se, 0, ac_enc=enc),
+                ss, se, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_progressive(
+    rgb: np.ndarray,
+    quality: int = 92,
+    subsampling: str = "444",
+    successive: bool = True,
+) -> bytes:
+    """uint8 (h, w, 3) RGB -> PROGRESSIVE YCbCr JFIF (SOF2).
+
+    Scan script: interleaved DC scan over all three components (the MCU
+    geometry the decoder must honor), then per-component spectral AC
+    scans (Y split 1-5/6-63, chroma 1-63) — with ``successive`` all at
+    Al=1 followed by a full refinement round. Same quantized
+    coefficients as ``encode_jpeg_color`` at the same quality and
+    subsampling, so the decode is bit-identical to the baseline round
+    trip (AC scans cover the REAL per-component block grid; the
+    MCU-padding blocks beyond it carry DC only, and are cropped away
+    exactly as in the baseline)."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_jpeg_color_progressive expects (h, w, 3)")
+    planes, q_lum, q_chr_nat, (hY, vY), mcux, mcuy = _color_planes(
+        rgb, quality, subsampling
+    )
+    samps = [(hY, vY), (1, 1), (1, 1)]
+    qs = [q_lum.reshape(8, 8), q_chr_nat.reshape(8, 8),
+          q_chr_nat.reshape(8, 8)]
+    zzs = [_zz_blocks(planes[ci], qs[ci]) for ci in range(3)]
+    comps = [(1, hY, vY, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    geo, _, _ = _comp_geometry(h, w, comps)
+
+    def dc_interleaved(w_, ah, al):
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    enc = _DC_ENC if ci == 0 else _CHR_DC_ENC
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            v = int(zzs[ci][my * vi + byi, mx * hi + bxi, 0])
+                            if ah:
+                                w_.write((v >> al) & 1, 1)
+                                continue
+                            t = v >> al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            cat, low = _magnitude(diff)
+                            code, length = enc[cat]
+                            w_.write(code, length)
+                            if cat:
+                                w_.write(low, cat)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q_lum[_ZIGZAG]))
+    out += _seg(
+        0xFFDB, bytes([1]) + bytes(int(x) for x in q_chr_nat[_ZIGZAG])
+    )
+    out += _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hY << 4) | vY, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(
+        0xFFC4, bytes([0x01]) + bytes(_DC_CHR_BITS) + bytes(_DC_CHR_VALS)
+    )
+
+    def dc_sos(ah, al):
+        wtr = _BitWriter()
+        dc_interleaved(wtr, ah, al)
+        return (
+            _seg(
+                0xFFDA,
+                bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (ah << 4) | al]),
+            )
+            + wtr.flush()
+        )
+
+    def ac_sos(ci, ss, se, ah, al):
+        bh, bw = geo[ci][1]
+        flat = zzs[ci][:bh, :bw].reshape(-1, 64)
+        write_fn = _write_prog_ac_refine if ah else _write_prog_ac_first
+        rec = _SymbolRecorder()
+        write_fn(_BitWriter(), flat, ss, se, al, ac_enc=rec)
+        bits, vals = _fixed_len_table(rec.used)
+        enc = _build_codes(bits, vals)
+        wtr = _BitWriter()
+        write_fn(wtr, flat, ss, se, al, ac_enc=enc)
+        return (
+            _seg(0xFFC4, bytes([0x11]) + bytes(bits) + bytes(vals))
+            + _seg(
+                0xFFDA,
+                bytes([1, ci + 1, 0x01, ss, se, (ah << 4) | al]),
+            )
+            + wtr.flush()
+        )
+
+    first_al = 1 if successive else 0
+    ac_bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    out += dc_sos(0, first_al)
+    for ci, ss, se in ac_bands:
+        out += ac_sos(ci, ss, se, 0, first_al)
+    if successive:
+        out += dc_sos(1, 0)
+        for ci, ss, se in ac_bands:
+            out += ac_sos(ci, ss, se, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _read_code(r: _BitReader, tbl: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
     while length < 16:
@@ -547,6 +919,192 @@ def _decode_block(
     return _D.T @ coef @ _D, dc
 
 
+# --------------------------------------------------------------------------
+# progressive (SOF2) — T.81 Annex G: spectral selection + successive
+# approximation. Scans accumulate quantized coefficients (zigzag order)
+# per component; dequant + IDCT happen once after the last scan.
+# --------------------------------------------------------------------------
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the first real marker after ``pos`` (skips stuffed FF00
+    and RSTn, which belong to the entropy stream)."""
+    i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return n
+        nxt = payload[j + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return j
+        i = j + 2
+
+
+def _comp_geometry(h: int, w: int, comps):
+    """Per-component ((padded_bh, padded_bw), (real_bh, real_bw)) block
+    dims + (mcux, mcuy). Padded dims shape the coefficient storage (and
+    interleaved scans); REAL dims bound non-interleaved scans — for a
+    subsampled frame they can be smaller than the padded grid (A.2.2)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []
+    for (_, hi, vi, _) in comps:
+        comp_w = -(-(w * hi) // hmax)
+        comp_h = -(-(h * vi) // vmax)
+        geo.append(
+            ((mcuy * vi, mcux * hi), (-(-comp_h // 8), -(-comp_w // 8)))
+        )
+    return geo, mcux, mcuy
+
+
+def _prog_dc_scan(r, coefs, comps, scan_comps, dc_tbls, preds, ah, al,
+                  mcux, mcuy, geo, dri):
+    """One DC scan (Ss=0): interleaved (Ns=Nf) or single-component."""
+    mcu_i = 0
+
+    def _restart():
+        nonlocal mcu_i
+        if dri and mcu_i and mcu_i % dri == 0:
+            r.consume_restart(mcu_i // dri - 1)
+            for ci in scan_comps:
+                preds[ci] = 0
+
+    def _one(ci, by, bx):
+        c = coefs[ci]
+        if ah == 0:
+            cat = _read_code(r, dc_tbls[ci])
+            diff = _extend(r.bits(cat), cat) if cat else 0
+            preds[ci] += diff
+            c[by, bx, 0] = preds[ci] << al
+        elif r.bit():
+            c[by, bx, 0] |= 1 << al
+
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                _restart()
+                mcu_i += 1
+                for ci in scan_comps:
+                    _, hi, vi, _ = comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            _one(ci, my * vi + byi, mx * hi + bxi)
+    else:
+        ci = scan_comps[0]
+        bh, bw = geo[ci][1]
+        for by in range(bh):
+            for bx in range(bw):
+                _restart()
+                mcu_i += 1
+                _one(ci, by, bx)
+
+
+def _prog_ac_scan(r, coefs, ci, ac_tbl, ss, se, ah, al, geo, dri):
+    """One AC scan (Ss>=1, always non-interleaved, B.2.3): first pass
+    (Ah=0) with EOBRUN batching, or refinement (Ah=Al+1) appending one
+    correction bit per already-nonzero coefficient (G.1.2.3)."""
+    c = coefs[ci]
+    bh, bw = geo[ci][1]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and mcu_i and mcu_i % dri == 0:
+                r.consume_restart(mcu_i // dri - 1)
+                eobrun = 0
+            mcu_i += 1
+            blk = c[by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_code(r, ac_tbl)
+                    run, cat = rs >> 4, rs & 0xF
+                    if cat == 0:
+                        if run < 15:
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg progressive AC overflow")
+                    blk[k] = _extend(r.bits(cat), cat) << al
+                    k += 1
+                continue
+            # refinement scan
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_code(r, ac_tbl)
+                    run, cat = rs >> 4, rs & 0xF
+                    if cat == 0:
+                        if run < 15:
+                            eobrun = (1 << run)
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        val = 0
+                    else:
+                        if cat != 1:
+                            raise ValueError(
+                                "jpeg progressive AC refine cat != 1"
+                            )
+                        val = p1 if r.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if r.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            if eobrun:
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _planes_from_coefs(coefs, comps, qtables):
+    """Zigzag coefficient blocks -> padded spatial planes. The per-block
+    dequant + IDCT replicates _decode_block's float op order EXACTLY
+    (same left-associated matmuls) so a progressive encode of the same
+    quantized coefficients decodes bit-identically to the baseline path
+    — a batched einsum contracts in a different order and flips ±1 DNs
+    at round-half boundaries (observed 22/4096 pixels)."""
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        q2d = qtables[tq].astype(np.float64)[_UNZIGZAG].reshape(8, 8)
+        zz = coefs[ci]
+        bh, bw = zz.shape[0], zz.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        block = np.zeros(64, dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block[_ZIGZAG] = zz[by, bx]
+                coef = block.reshape(8, 8) * q2d
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _D.T @ coef @ _D
+                )
+        planes.append(plane)
+    return planes
+
+
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Baseline JFIF -> uint16 (h, w) luma (8-bit value × 257).
 
@@ -555,11 +1113,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     interleaved YCbCr with per-axis sampling factors 1-2 (4:4:4, 4:2:2,
     4:2:0, 4:4:0), plus restart intervals (DRI/RSTn); color output is
     converted to ITU-R 601 luma because the engine's band contract is
-    grayscale u16. Raises NotImplementedError for the remaining
-    profiles (progressive, 12-bit, arithmetic coding, sampling factors
-    above 2, and Adobe-RGB streams whose APP14 declares transform 0) —
-    the ``codec.decode`` dispatch routes those to the optional Pillow
-    path.
+    grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
+    decode; raises NotImplementedError for the remaining profiles
+    (12-bit, arithmetic coding, sampling factors above 2, and Adobe-RGB
+    streams whose APP14 declares transform 0) — the ``codec.decode``
+    dispatch routes those to the optional Pillow path.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -570,6 +1128,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     scan_data = None
     scan_tabs: list[tuple[int, int]] = []
     restart_interval = 0
+    progressive = False
+    coefs = None  # per-comp (padded_bh, padded_bw, 64) zigzag int32
+    prog_geo = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -589,13 +1150,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int32)
                 i += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
                 f"jpeg SOF marker 0x{marker:04X}: only baseline sequential "
-                "(SOF0) supported by the stdlib path"
+                "(SOF0) and progressive (SOF2) supported by the stdlib path"
             )
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"jpeg precision {prec}")
@@ -650,6 +1212,74 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     "jpeg Adobe APP14 transform=0 (RGB components): the "
                     "stdlib path only decodes YCbCr"
                 )
+        elif marker == 0xFFDA and progressive:
+            if sof is None:
+                raise ValueError("jpeg SOS before SOF")
+            hh, ww, pcomps = sof
+            if coefs is None:
+                prog_geo, p_mcux, p_mcuy = _comp_geometry(hh, ww, pcomps)
+                coefs = [
+                    np.zeros((pb[0], pb[1], 64), np.int32)
+                    for pb, _ in prog_geo
+                ]
+            ns = body[0]
+            sels = []
+            cid_to_ci = {c[0]: i for i, c in enumerate(pcomps)}
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                if cs not in cid_to_ci:
+                    raise ValueError(
+                        f"jpeg progressive SOS selector {cs} not in SOF"
+                    )
+                tdta = body[2 + 2 * i]
+                sels.append((cid_to_ci[cs], tdta >> 4, tdta & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            end = _entropy_end(payload, pos)
+            r = _BitReader(payload[pos:end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg progressive DC scan with Se>0")
+                if ns not in (1, len(pcomps)):
+                    raise NotImplementedError(
+                        "jpeg progressive DC scan over a strict "
+                        "multi-component subset"
+                    )
+                if ns > 1 and [s[0] for s in sels] != list(range(ns)):
+                    raise ValueError(
+                        "jpeg progressive interleaved DC scan out of "
+                        "SOF order"
+                    )
+                dc_map = {}
+                for ci, td, _ in sels:
+                    if ah == 0:
+                        t = htables.get((0, td))
+                        if t is None:
+                            raise ValueError(
+                                "jpeg scan references missing huffman table"
+                            )
+                        dc_map[ci] = t
+                _prog_dc_scan(
+                    r, coefs, pcomps, [s[0] for s in sels], dc_map,
+                    [0] * len(pcomps), ah, al, p_mcux, p_mcuy, prog_geo,
+                    restart_interval,
+                )
+            else:
+                if ns != 1:
+                    raise ValueError(
+                        "jpeg progressive AC scan must be non-interleaved"
+                    )
+                ci, _, ta = sels[0]
+                act = htables.get((1, ta))
+                if act is None:
+                    raise ValueError(
+                        "jpeg scan references missing huffman table"
+                    )
+                _prog_ac_scan(
+                    r, coefs, ci, act, ss, se, ah, al, prog_geo,
+                    restart_interval,
+                )
+            pos = end
         elif marker == 0xFFDA:
             ns = body[0]
             if sof is None or ns != len(sof[2]):
@@ -677,10 +1307,18 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             ]
             scan_data = payload[pos:]
             break
-    if sof is None or scan_data is None:
-        raise ValueError("jpeg missing SOF0/SOS")
+    if sof is None or (scan_data is None and coefs is None):
+        raise ValueError("jpeg missing SOF/SOS")
     h, w, comps = sof
     ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if progressive:
+        for (_, _, _, tq) in comps:
+            if tq not in qtables:
+                raise ValueError("jpeg scan references missing quant table")
+        planes = _planes_from_coefs(coefs, comps, qtables)
+        return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w)
     q2ds, dc_tbls, ac_tbls = [], [], []
     for (cid, hi, vi, tq), (dci, aci) in zip(comps, scan_tabs):
         if tq not in qtables:
@@ -693,8 +1331,6 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         dc_tbls.append(dc_t)
         ac_tbls.append(ac_t)
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [
@@ -722,8 +1358,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         py = (my * vi + byi) * 8
                         px = (mx * hi + bxi) * 8
                         planes[ci][py : py + 8, px : px + 8] = blk
-    # upsample subsampled planes to full resolution by pixel replication,
-    # then crop to (h, w)
+    return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): replication-upsample
+    subsampled planes, crop to (h, w), and convert to u16 luma."""
+    ncomp = len(comps)
     full = []
     for ci, (_, hi, vi, _) in enumerate(comps):
         p = planes[ci]

@@ -12,10 +12,10 @@ behavior) is fully exercised.
 
 Formats (see raster/codec.py for the image ones):
 - images : ``raw-u16`` / ``lossy-q12`` / ``png`` / baseline ``tiff`` /
-  baseline ``jpeg`` (grayscale + YCbCr 4:4:4/4:2:2/4:2:0 + restart
-  intervals) all REAL (pure-stdlib codecs); non-baseline TIFF variants
-  (tiles/LZW/JPEG/RGB/BigTIFF) and progressive/12-bit JPEG remain
-  Pillow-gated → NotImplementedError
+  ``jpeg`` (grayscale + YCbCr 4:4:4/4:2:2/4:2:0 + restart intervals,
+  baseline SOF0 and progressive SOF2) all REAL (pure-stdlib codecs);
+  non-baseline TIFF variants (tiles/LZW/JPEG/RGB/BigTIFF) and
+  12-bit/arithmetic JPEG remain Pillow-gated → NotImplementedError
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian; flac/mp3 →
