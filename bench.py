@@ -699,33 +699,10 @@ def run_dedup_scale() -> None:
 
     mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "200"))
     spark = build_session(CPUS)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    n0 = docs.count()
-    if mult > 1:
-        # the driver parquet is ONE row group — without a repartition the
-        # ×mult explode plus all shingle/minhash map work upstream of the
-        # first shuffle runs in a single task
-        docs = (
-            docs.withColumn(
-                "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
-            )
-            .repartition(spark.sparkContext.defaultParallelism)
-            .select(
-                (F.col("doc_id") * mult + F.col("_r")).alias("doc_id"),
-                F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda w: F.concat(
-                            w, F.lit("_r"), F.col("_r").cast("string")
-                        ),
-                    ),
-                    " ",
-                ).alias("text"),
-            )
-        )
-    n_docs = n0 * mult
+    # shared synthesis (also used by --dedup-profile): the cross-mode
+    # comparison in BENCH.md is only valid while both modes replicate the
+    # corpus identically (r6 review finding)
+    docs, n_docs = _replicated_docs(spark, mult)
 
     t0 = time.time()
     pairs = lsh_candidate_pairs(docs).localCheckpoint()

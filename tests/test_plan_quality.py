@@ -31,16 +31,21 @@ def test_flagship_probe_never_shuffles(spark):
         observations=geotables.weather_observations(spark, SF),
     )
     plan = _executed_plan(df)
+    hash_exchanges = []
     for line in plan.splitlines():
         ls = line.strip()
         if "Exchange" in ls and "BroadcastExchange" not in ls:
-            # the obs pack build's dim-side groupBy(station_id) is the one
-            # allowed hash exchange (|stations| keys, never the probe);
-            # everything else must be the deliberate source repartition
-            assert (
-                "RoundRobinPartitioning" in ls
-                or "hashpartitioning(station_id" in ls
-            ), f"unexpected shuffle: {ls}"
+            if "RoundRobinPartitioning" in ls:
+                continue  # the deliberate source repartition
+            hash_exchanges.append(ls)
+    # the obs pack build's dim-side groupBy(station_id) is the ONE allowed
+    # hash exchange. Assert the count, not a substring: a probe-side
+    # regression (broadcast dropped -> shuffled join) would ALSO print
+    # 'hashpartitioning(station_id...' and a prefix match would wave the
+    # exact regression this test exists to catch (r6 review finding).
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "station_id" in hash_exchanges[0]
+    assert "weather_historical_date" not in hash_exchanges[0]
     # PIP + station payload + DEM meta + dated weather observations
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan

@@ -546,3 +546,81 @@ def test_incremental_dedup_inverted_ratio(spark, tmp_path):
     # increment was never collected for broadcast
     assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_tokens_whitespace_edges_match_sql_twin(spark):
+    """r6 review finding: Spark trim() and DuckDB TRIM strip only ASCII
+    spaces, so a doc starting with a tab/newline produced a phantom
+    empty first token that leaked into shingles. Both engines now strip
+    ALL leading/trailing whitespace identically — pin the edge set."""
+    import duckdb
+    import pandas as pd
+
+    from tiff_enrichment_pipeline_spark.functions.text import (
+        tokens,
+        tokens_sql,
+        word_shingles,
+        word_shingles_sql,
+    )
+
+    rows = [(0, "\ta b c"), (1, "a b c\n"), (2, "  x\t y\nz  w "),
+            (3, "plain one two three"), (4, ""), (5, None), (6, "\t\n"),
+            (7, "a b")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (
+            list(r["tok"]) if r["tok"] is not None else None,
+            list(r["sh"]),
+        )
+        for r in df.select(
+            "id",
+            tokens(F.col("text")).alias("tok"),
+            word_shingles(F.col("text"), 3).alias("sh"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {"id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ),
+    )
+    want = {
+        i: (list(tok) if tok is not None else None, list(sh))
+        for i, tok, sh in con.execute(
+            f"SELECT id, {tokens_sql('text')}, {word_shingles_sql('text')} "
+            "FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == (["a", "b", "c"], ["a b c"])  # no phantom '' token
+
+
+def test_pack_observations_empty_payload_and_enrich_arg_guard(spark):
+    """r6 review findings: payload_cols=[] must mean 'no payload packed'
+    (not 'default to everything'), and enrich() must reject
+    observations= + packed_obs= together like nearest_station_dated."""
+    from tiff_enrichment_pipeline_spark import geotables
+    from tiff_enrichment_pipeline_spark.fixtures import dem_tiles_df
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        pack_observations,
+    )
+    from tiff_enrichment_pipeline_spark.plans.enrich import enrich
+
+    sf = "/root/testdata/sf0.001"
+    obs = geotables.weather_observations(spark, sf).withColumnRenamed(
+        "obs_date", "weather_historical_date"
+    )
+    packed = pack_observations(obs, payload_cols=[])
+    entry_t = packed.schema["_obs_entries"].dataType.elementType
+    assert entry_t.names == ["d"]  # date only, nothing else packed
+
+    with pytest.raises(ValueError, match="at most one"):
+        enrich(
+            geotables.images_geo(spark, sf),
+            landcover=geotables.landcover_polygons(spark),
+            stations=geotables.stations(spark, sf),
+            dem_tiles=dem_tiles_df(spark),
+            observations=geotables.weather_observations(spark, sf),
+            packed_obs=geotables.weather_observations_packed(spark, sf),
+        )

@@ -23,12 +23,24 @@ PUNCT_RE = "[.,!?;:]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (lowercased)."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Whitespace tokenization (lowercased).
+
+    Leading/trailing whitespace is stripped with a REGEX, not trim():
+    both Spark's trim and DuckDB's TRIM strip only ASCII spaces, so a
+    doc starting with a tab/newline used to produce a phantom empty
+    first token — which leaked into shingles as ``" a b"`` (r6 review
+    finding: the old and new shingle formulations diverged on exactly
+    those docs). Stripping all ``\\s`` in BOTH engines keeps the
+    token/shingle oracles aligned and the empty token out."""
+    stripped = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    return F.split(stripped, r"\s+")
 
 
 def tokens_sql(text: str) -> str:
-    return f"regexp_split_to_array(lower(trim({text})), '\\s+')"
+    return (
+        f"regexp_split_to_array("
+        f"regexp_replace(lower({text}), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -142,7 +154,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     yield NULL instead of the empty array): short docs short-circuit to
     an empty array exactly as before."""
     t = tokens(text)
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # same all-whitespace strip as tokens() — trim()-only would leave a
+    # leading "\t" to become a phantom empty token on the tokens side
+    # while the regex side normalizes it away (r6 review finding)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " "
+    )
     pat = r"(?:^|(?<= ))(?=(\S+(?: \S+){%d}))" % (n - 1)
     shingles = F.regexp_extract_all(norm, F.lit(pat), 1)
     return F.when(F.size(t) >= n, shingles).otherwise(

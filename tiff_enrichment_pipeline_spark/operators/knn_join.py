@@ -401,9 +401,18 @@ def pack_observations(
     while shifting indexes. The distinct count is computed on the packed
     array in the same projection rather than countDistinct in the agg,
     whose distinct-rewrite would add a second exchange."""
-    payload = payload_cols or [
-        c for c in observations.columns if c not in ("station_id", date_col)
-    ]
+    # `is not None`, not `or`: an explicit payload_cols=[] means "pack
+    # only the date-presence dimension" (the wide-table pruning use-case
+    # this parameter exists for), not "default to everything" (r6 review)
+    payload = (
+        payload_cols
+        if payload_cols is not None
+        else [
+            c
+            for c in observations.columns
+            if c not in ("station_id", date_col)
+        ]
+    )
     if "d" in payload:
         # 'd' is the struct's date field; a payload column of the same
         # name would make _obs_hit['d'] extraction ambiguous (ADVICE r5)

@@ -122,6 +122,15 @@ def enrich(
     drop_cols = ["st_lon", "st_lat", "temp_c", "wind_ms", "precip_mm", "dist_m"]
     if packed_obs is not None and not broadcast_obs:
         raise ValueError("packed_obs requires broadcast_obs=True")
+    if packed_obs is not None and observations is not None:
+        # same contract as nearest_station_dated: silently preferring the
+        # pack would swap duplicate-key semantics (one row per dup under
+        # the row join, first-in-sorted-order under packing) without the
+        # caller noticing (r6 review)
+        raise ValueError(
+            "enrich() needs at most one of observations= (row-level dim) "
+            "or packed_obs= (pre-built pack_observations output)"
+        )
     if observations is not None or packed_obs is not None:
         geo = geo.withColumn("weather_historical_date", F.to_date(F.col(ts)))
         if broadcast_obs:
