@@ -298,13 +298,16 @@ def test_geotiff_tags_roundtrip_and_guards():
 
     with pytest.raises(ValueError):
         codec.decode_tiff_u16(b"NOTATIFF")
-    with pytest.raises(NotImplementedError):  # BigTIFF magic 43
+    # r6: BigTIFF now DECODES (see test_tiff_lzw_tiled_bigtiff_roundtrips);
+    # a malformed BigTIFF header (offsize != 8) is corrupt, not a gate
+    with pytest.raises(ValueError, match="BigTIFF"):
         codec.decode_tiff_u16(b"II+\x00" + b"\x00" * 12)
-    # LZW-compressed marker (compression 5) → stdlib raises, and the
+    # JPEG-in-TIFF marker (compression 7) → stdlib raises, and the
     # decode() dispatch converts it into the Pillow-gated NotImplemented
+    # (compression 5 = LZW decodes stdlib-side since r6)
     t = bytearray(codec.encode_tiff_u16(band))
     comp_at = t.find(struct.pack("<HHI", 259, 3, 1))
-    t[comp_at + 8 : comp_at + 10] = struct.pack("<H", 5)
+    t[comp_at + 8 : comp_at + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError):
         codec.decode_tiff_u16(bytes(t))
     try:
@@ -672,3 +675,56 @@ def test_jpeg_progressive_error_paths():
     enc2[j + 5] = 9  # unknown component selector
     with pytest.raises(ValueError, match="selector"):
         jpeg.decode_jpeg_gray(bytes(enc2))
+
+
+def test_tiff_lzw_tiled_bigtiff_roundtrips():
+    """Round-6 TIFF profile extensions: LZW (Compression 5, TIFF6 §13
+    early-change — pinned against the spec's worked example), tiled
+    layout (padded edge tiles, §15) and the BigTIFF container (magic
+    43, 8-byte offsets) all roundtrip losslessly with geo metadata, in
+    every combination."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        (20000 + 300 * np.arange(96)[None, :]
+         + 150 * np.arange(64)[:, None]).astype(np.uint16),
+        rng.integers(0, 65535, (61, 83)).astype(np.uint16),
+    ]
+    geo = {"pixel_scale": (0.001, 0.001), "origin": (5.0, 52.0),
+           "epsg": 4326}
+    for im in imgs:
+        for comp in ("none", "deflate", "lzw"):
+            for tile in (None, 16):
+                for big in (False, True):
+                    enc = codec.encode_tiff_u16(
+                        im, compression=comp, tile=tile, bigtiff=big,
+                        geo=geo,
+                    )
+                    arr, meta = codec.decode_geotiff(enc)
+                    assert np.array_equal(arr, im), (comp, tile, big)
+                    assert meta["epsg"] == 4326
+
+    # TIFF6 §13 worked example: input 7 7 7 8 8 7 7 6 6 must encode to
+    # exactly Clear,7,258,8,8,258,6,6,EOI at 9 bits MSB-first
+    def pack(codes):
+        acc = n = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            n += 9
+            while n >= 8:
+                n -= 8
+                out.append((acc >> n) & 0xFF)
+                acc &= (1 << n) - 1
+        if n:
+            out.append((acc << (8 - n)) & 0xFF)
+        return bytes(out)
+
+    vec = pack([256, 7, 258, 8, 8, 258, 6, 6, 257])
+    src = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert codec._lzw_encode(src) == vec
+    assert codec._lzw_decode(vec) == src
+    # width growth to 12 bits + encoder reset + KwKwK paths
+    blob = bytes(rng.integers(0, 256, 300000, dtype=np.uint8).tobytes())
+    assert codec._lzw_decode(codec._lzw_encode(blob)) == blob

@@ -24,8 +24,13 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory 34735)
   so the S6 sink emits files GDAL/rasterio/QGIS can open directly
   (reference writes via rasterio, utils/rasterio_utils.py:235-255).
-  Exotic TIFF variants (tiles, LZW/JPEG, RGB) fall back to a
-  Pillow-gated path and raise NotImplementedError when absent.
+  Round 6 extends the stdlib path to Compression 5 (TIFF6 §13 LZW with
+  the early-change convention, encoder + decoder), TILED layout (tags
+  322-325, padded edge tiles per §15) and the BigTIFF container (magic
+  43, 8-byte offsets, LONG8 types) — the profiles real GIS stacks emit.
+  Remaining exotic variants (JPEG-in-TIFF, RGB/multi-sample, float
+  samples) fall back to a Pillow-gated path and raise
+  NotImplementedError when absent.
 
 PSNR (peak 65535) is the per-row invariant from BASELINE.json input_hint:
 decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
@@ -175,14 +180,113 @@ def decode_png_u16(payload: bytes) -> np.ndarray:
 # Baseline TIFF 6.0 / GeoTIFF — pure stdlib (struct + zlib + numpy)
 # ---------------------------------------------------------------------------
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                   10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+                  12: "d", 16: "Q", 17: "q"}  # 16/17 = BigTIFF LONG8/SLONG8
 _T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
 
 # GeoTIFF GeoKey ids (GeoTIFF 1.1 / OGC 19-008r4 — public spec)
 _GK_MODEL_TYPE = 1024       # 2 = geographic lat/lon
 _GK_RASTER_TYPE = 1025      # 1 = PixelIsArea
 _GK_GEODETIC_CRS = 2048     # 4326 = WGS84
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 9→12-bit
+    codes with EARLY change (width grows when the next free code equals
+    2^w - 1 — one code earlier than GIF), ClearCode 256 / EOI 257, table
+    reset before the 12-bit space overflows."""
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, n
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+        acc &= (1 << n) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, w = 258, 9
+    emit(256, w)
+    cur = b""
+    for b in data:
+        nxt_s = cur + bytes([b])
+        if nxt_s in table:
+            cur = nxt_s
+            continue
+        emit(table[cur], w)
+        table[nxt_s] = nxt
+        nxt += 1
+        if nxt == (1 << w) - 1 and w < 12:
+            w += 1
+        cur = bytes([b])
+        if nxt >= 4093:  # reset before the 12-bit space runs out
+            emit(256, w)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, w = 258, 9
+    if cur:
+        emit(table[cur], w)
+    emit(257, w)
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Inverse of _lzw_encode; accepts any conformant TIFF LZW stream
+    (resets at arbitrary points, KwKwK self-referential codes)."""
+    out = bytearray()
+    pos = acc = n = 0
+
+    def read(w: int) -> int:
+        nonlocal pos, acc, n
+        while n < w:
+            if pos >= len(data):
+                return 257  # truncated stream: treat as EOI per libtiff
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n += 8
+        n -= w
+        v = (acc >> n) & ((1 << w) - 1)
+        acc &= (1 << n) - 1
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    w = 9
+    prev: bytes | None = None
+    while True:
+        code = read(w)
+        if code == 257:
+            break
+        if code == 256:
+            table = table[:258]
+            w = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        # early change, one LESS than the encoder's threshold: the
+        # decoder's table add is deferred one code behind the encoder's
+        # (the first code after Clear adds nothing), so its width must
+        # switch at 510/1022/2046 where the encoder switched at
+        # 511/1023/2047 (TIFF6 §13 sample decoder)
+        if len(table) == (1 << w) - 2 and w < 12:
+            w += 1
+        out += entry
+        prev = entry
+    return bytes(out)
 
 
 def _tiff_entry_bytes(tag: int, typ: int, vals: list, data: bytearray) -> bytes:
@@ -198,6 +302,20 @@ def _tiff_entry_bytes(tag: int, typ: int, vals: list, data: bytearray) -> bytes:
     return struct.pack("<HHI", tag, typ, len(vals)) + struct.pack("<I", off)
 
 
+def _tiff_entry_bytes_big(
+    tag: int, typ: int, vals: list, data: bytearray
+) -> bytes:
+    """One 20-byte BigTIFF IFD entry (u8 count, 8-byte inline area)."""
+    vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+    if len(vb) <= 8:
+        return struct.pack("<HHQ", tag, typ, len(vals)) + vb.ljust(8, b"\x00")
+    if len(data) % 2:
+        data += b"\x00"
+    off = len(data)
+    data += vb
+    return struct.pack("<HHQ", tag, typ, len(vals)) + struct.pack("<Q", off)
+
+
 def encode_tiff_u16(
     band: np.ndarray,
     *,
@@ -206,6 +324,8 @@ def encode_tiff_u16(
     predictor: int = 2,
     geo: dict | None = None,
     level: int = 6,
+    tile: int | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """Grayscale uint16 baseline TIFF (little-endian, strip layout).
 
@@ -217,7 +337,13 @@ def encode_tiff_u16(
     (west_deg, north_deg), "epsg": 4326}`` → writes ModelPixelScale,
     ModelTiepoint (raster (0,0,0) ↦ origin) and a GeoKeyDirectory, i.e. a
     real GeoTIFF (mirrors the reference's ``from_origin(west, north, px,
-    py)`` georeferencing, src/pipeline/processor.py:117-133)."""
+    py)`` georeferencing, src/pipeline/processor.py:117-133).
+
+    Round-6 variants (decode-path test vectors for the profiles real
+    GIS stacks emit): ``compression='lzw'`` (tag 5, TIFF6 §13 LZW with
+    the early-change convention), ``tile=N`` (tiled layout — tags
+    322/323/324/325, edge tiles padded to full N×N per spec §15) and
+    ``bigtiff=True`` (the 8-byte-offset BigTIFF container, magic 43)."""
     if band.ndim != 2:
         raise ValueError("band must be 2-D")
     arr = band.astype(np.uint16)
@@ -226,25 +352,55 @@ def encode_tiff_u16(
         comp_tag, predictor = 1, 1
     elif compression == "deflate":
         comp_tag = 8
+    elif compression == "lzw":
+        comp_tag = 5
     else:
         raise ValueError(f"unsupported tiff compression {compression!r}")
     rows_per_strip = max(1, min(rows_per_strip, h))
 
-    data = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD offset patched below
-    offsets, counts = [], []
-    for y0 in range(0, h, rows_per_strip):
-        s = arr[y0 : y0 + rows_per_strip]
+    def _pack(s: np.ndarray) -> bytes:
         if predictor == 2:
             d = s.copy()
             d[:, 1:] = s[:, 1:] - s[:, :-1]  # uint16 wraparound is the spec
             s = d
         raw = np.ascontiguousarray(s.astype("<u2")).tobytes()
-        strip = zlib.compress(raw, level) if comp_tag == 8 else raw
+        if comp_tag == 8:
+            return zlib.compress(raw, level)
+        if comp_tag == 5:
+            return _lzw_encode(raw)
+        return raw
+
+    if bigtiff:
+        data = bytearray(b"II+\x00\x08\x00\x00\x00" + b"\x00" * 8)
+    else:
+        data = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offsets, counts = [], []
+    if tile is None:
+        chunks = [arr[y0 : y0 + rows_per_strip]
+                  for y0 in range(0, h, rows_per_strip)]
+    else:
+        if tile % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        # tiles are ALWAYS full tile×tile in the file — edge tiles carry
+        # padding the decoder crops (TIFF6 §15)
+        chunks = []
+        for ty in range(0, h, tile):
+            for tx in range(0, w, tile):
+                t = arr[ty : ty + tile, tx : tx + tile]
+                chunks.append(
+                    np.pad(
+                        t,
+                        ((0, tile - t.shape[0]), (0, tile - t.shape[1])),
+                        mode="edge",
+                    )
+                )
+    for s in chunks:
+        piece = _pack(s)
         if len(data) % 2:
             data += b"\x00"
         offsets.append(len(data))
-        counts.append(len(strip))
-        data += strip
+        counts.append(len(piece))
+        data += piece
 
     tags: list[tuple[int, int, list]] = [
         (256, _T_LONG, [w]),
@@ -252,13 +408,23 @@ def encode_tiff_u16(
         (258, _T_SHORT, [16]),
         (259, _T_SHORT, [comp_tag]),
         (262, _T_SHORT, [1]),  # BlackIsZero
-        (273, _T_LONG, offsets),
         (277, _T_SHORT, [1]),
-        (278, _T_LONG, [rows_per_strip]),
-        (279, _T_LONG, counts),
         (339, _T_SHORT, [1]),  # unsigned integer samples
     ]
-    if comp_tag == 8:
+    if tile is None:
+        tags += [
+            (273, _T_LONG, offsets),
+            (278, _T_LONG, [rows_per_strip]),
+            (279, _T_LONG, counts),
+        ]
+    else:
+        tags += [
+            (322, _T_LONG, [tile]),
+            (323, _T_LONG, [tile]),
+            (324, _T_LONG, offsets),
+            (325, _T_LONG, counts),
+        ]
+    if comp_tag in (5, 8):
         tags.append((317, _T_SHORT, [predictor]))
     if geo is not None:
         sx, sy = geo["pixel_scale"]
@@ -274,6 +440,18 @@ def encode_tiff_u16(
         tags.append((33922, _T_DOUBLE, [0.0, 0.0, 0.0, float(west), float(north), 0.0]))
         tags.append((34735, _T_SHORT, keydir))
 
+    if bigtiff:
+        entries = [
+            _tiff_entry_bytes_big(t, ty, v, data) for t, ty, v in sorted(tags)
+        ]
+        if len(data) % 2:
+            data += b"\x00"
+        struct.pack_into("<Q", data, 8, len(data))  # header → IFD offset
+        data += struct.pack("<Q", len(entries))
+        for e in entries:
+            data += e
+        data += struct.pack("<Q", 0)  # no next IFD
+        return bytes(data)
     entries = [_tiff_entry_bytes(t, ty, v, data) for t, ty, v in sorted(tags)]
     if len(data) % 2:
         data += b"\x00"
@@ -303,32 +481,51 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not a TIFF payload (bad byte-order mark)")
     (magic,) = struct.unpack(e + "H", payload[2:4])
     if magic == 43:
-        raise NotImplementedError("BigTIFF not supported by the stdlib path")
-    if magic != 42:
+        # BigTIFF (r6): 8-byte offsets, 20-byte IFD entries, u8 counts
+        offsize, zero = struct.unpack(e + "HH", payload[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offsize={offsize})")
+        (ifd_off,) = struct.unpack(e + "Q", payload[8:16])
+        (n_entries,) = struct.unpack(e + "Q", payload[ifd_off : ifd_off + 8])
+        entry0, entry_sz, inline = ifd_off + 8, 20, 8
+    elif magic == 42:
+        (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+        (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+        entry0, entry_sz, inline = ifd_off + 2, 12, 4
+    else:
         raise ValueError("not a TIFF payload (bad magic)")
-    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
-    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    big = magic == 43
     tags: dict[int, list] = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
+    for i in range(int(n_entries)):
+        off = entry0 + entry_sz * i
+        if big:
+            tag, typ, cnt = struct.unpack(e + "HHQ", payload[off : off + 12])
+            vpos = off + 12
+        else:
+            tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
+            vpos = off + 8
         fmt = _TIFF_TYPE_FMT.get(typ)
         if fmt is None:
             continue  # rationals/ascii we never need — skip, don't fail
-        size = _TIFF_TYPE_SIZE[typ] * cnt
-        if size <= 4:
-            src = payload[off + 8 : off + 8 + size]
+        size = _TIFF_TYPE_SIZE[typ] * int(cnt)
+        if size <= inline:
+            src = payload[vpos : vpos + size]
         else:
-            (voff,) = struct.unpack(e + "I", payload[off + 8 : off + 12])
+            (voff,) = struct.unpack(
+                e + ("Q" if big else "I"), payload[vpos : vpos + inline]
+            )
             src = payload[voff : voff + size]
-        tags[tag] = list(struct.unpack(e + fmt * cnt, src))
+        tags[tag] = list(struct.unpack(e + fmt * int(cnt), src))
 
+    tiled = 322 in tags or 324 in tags  # TileWidth/TileOffsets
     try:
         w, h = tags[256][0], tags[257][0]
-        offs, cnts = tags[273], tags[279]
+        if tiled:
+            offs, cnts = tags[324], tags[325]
+            tw, tl = tags[322][0], tags[323][0]
+        else:
+            offs, cnts = tags[273], tags[279]
     except KeyError as exc:
-        if 322 in tags or 324 in tags:  # TileWidth/TileOffsets
-            raise NotImplementedError("tiled TIFF not supported by the stdlib path") from exc
         # NotImplementedError, not ValueError: some writers omit e.g.
         # StripByteCounts and fuller decoders (Pillow) tolerate it — the
         # decode() dispatch must keep its fallback path for these
@@ -345,28 +542,49 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         raise NotImplementedError(
             f"TIFF profile outside baseline grayscale (spp={spp}, bits={bits}, fmt={sfmt})"
         )
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
 
     nbytes = bits // 8
     mask = (1 << bits) - 1
-    chunks = []
-    for y0, o, c in zip(range(0, h, rps), offs, cnts):
+    dt = e + ("u2" if bits == 16 else "u1")
+
+    def _chunk(o: int, c: int, nrows: int, ncols: int) -> np.ndarray:
         raw = payload[o : o + c]
         if comp == 8:
             raw = zlib.decompress(raw)
-        nrows = min(rps, h - y0)
+        elif comp == 5:
+            raw = _lzw_decode(raw)
         s = (
-            np.frombuffer(raw[: nrows * w * nbytes], dtype=e + ("u2" if bits == 16 else "u1"))
-            .reshape(nrows, w)
+            np.frombuffer(raw[: nrows * ncols * nbytes], dtype=dt)
+            .reshape(nrows, ncols)
             .astype(np.uint16)
         )
         if pred == 2:
-            s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(np.uint16)
-        chunks.append(s)
-    arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(
+                np.uint16
+            )
+        return s
+
+    if tiled:
+        # tiles are stored full tw×tl (edge tiles padded, TIFF6 §15) in
+        # row-major tile order; assemble then crop
+        tiles_across = -(-w // tw)
+        arr = np.zeros((-(-h // tl) * tl, tiles_across * tw), np.uint16)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(idx, tiles_across)
+            arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = _chunk(
+                o, c, tl, tw
+            )
+        arr = arr[:h, :w]
+    else:
+        chunks = [
+            _chunk(o, c, min(rps, h - y0), w)
+            for y0, o, c in zip(range(0, h, rps), offs, cnts)
+        ]
+        arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
     meta: dict = {}
     if 33550 in tags:

@@ -19,7 +19,8 @@ the test vector source (entropy coding is lossless, so a progressive
 encode decodes bit-identically to the baseline encode at the same
 quality/subsampling; pinned across shapes in tests). 12-bit, arithmetic
 coding and sampling factors >2 stay behind the optional Pillow gate in
-``codec.decode`` — same policy as tiled/LZW TIFF.
+``codec.decode`` — same policy as the remaining exotic TIFF variants
+(JPEG-in-TIFF, multi-sample).
 
 Pixel convention: the engine's bands are uint16; JPEG baseline is 8-bit.
 ``encode_jpeg_gray`` stores the high byte (v >> 8); ``decode_jpeg_gray``

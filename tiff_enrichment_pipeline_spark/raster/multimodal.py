@@ -14,8 +14,9 @@ Formats (see raster/codec.py for the image ones):
 - images : ``raw-u16`` / ``lossy-q12`` / ``png`` / baseline ``tiff`` /
   ``jpeg`` (grayscale + YCbCr 4:4:4/4:2:2/4:2:0 + restart intervals,
   baseline SOF0 and progressive SOF2) all REAL (pure-stdlib codecs);
-  non-baseline TIFF variants (tiles/LZW/JPEG/RGB/BigTIFF) and
-  12-bit/arithmetic JPEG remain Pillow-gated → NotImplementedError
+  LZW/tiled/BigTIFF decode stdlib-side too (r6); the remaining
+  exotics (JPEG-in-TIFF, RGB TIFF, 12-bit/arithmetic JPEG) stay
+  Pillow-gated → NotImplementedError
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian; flac/mp3 →

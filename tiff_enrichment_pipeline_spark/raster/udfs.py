@@ -258,7 +258,7 @@ def decode_status(
     create-tables.sql error columns).
 
     'unsupported' (NotImplementedError: a VALID payload whose codec/
-    variant is gated in this environment — e.g. tiled/LZW TIFF without
+    variant is gated in this environment — e.g. JPEG-in-TIFF without
     Pillow) is deliberately distinct from 'corrupt': the former is intact
     data that decodes elsewhere, the latter is damaged data — conflating
     them would make quarantine routing depend on the environment instead
