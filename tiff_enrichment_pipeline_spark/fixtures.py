@@ -276,12 +276,24 @@ def band_rows_from_orders(
         out = []
         for c, b, f in zip(capture, band, fmt):
             px = pixel_band(int(c), int(b))
-            out.append(
-                codec.encode_lossy_q12(px) if f == "lossy-q12"
-                else codec.encode_png_u16(px) if f == "png"
-                else codec.encode_tiff_u16(px) if f == "tiff"
-                else codec.encode_raw_u16(px)
-            )
+            if f == "tiff":
+                # rotate the container profile deterministically so the
+                # driver-checked queries exercise every stdlib TIFF path
+                # (r6: LZW, tiled, BigTIFF) — all lossless, so every
+                # pixel-value oracle is untouched
+                enc = codec.encode_tiff_u16(
+                    px,
+                    compression="lzw" if c % 2 else "deflate",
+                    tile=16 if c % 4 == 1 else None,
+                    bigtiff=c % 8 == 3,
+                )
+            elif f == "lossy-q12":
+                enc = codec.encode_lossy_q12(px)
+            elif f == "png":
+                enc = codec.encode_png_u16(px)
+            else:
+                enc = codec.encode_raw_u16(px)
+            out.append(enc)
         return pd.Series(out)
 
     img = geotables.images_geo(spark, sf_dir).filter(
