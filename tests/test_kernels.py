@@ -728,3 +728,39 @@ def test_tiff_lzw_tiled_bigtiff_roundtrips():
     # width growth to 12 bits + encoder reset + KwKwK paths
     blob = bytes(rng.integers(0, 256, 300000, dtype=np.uint8).tobytes())
     assert codec._lzw_decode(codec._lzw_encode(blob)) == blob
+
+
+def test_jpeg_12bit_gray():
+    """12-bit-precision grayscale JPEG (r6): Pq=1 16-bit DQT parse,
+    per-file huffman tables reaching the 12-bit categories, 2048 level
+    shift, 12->16-bit replication out. Must beat the 8-bit path's PSNR
+    at the same quality on smooth data (half the sample-quantization
+    loss is the entire point of the profile)."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+    from tiff_enrichment_pipeline_spark.raster.codec import psnr_db
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    band = (1000 + 20000 * np.abs(np.sin(xx / 17.0) * np.cos(yy / 11.0))).astype(
+        np.uint16
+    )
+    for b in (band, band[:61, :59]):
+        enc = jpeg.encode_jpeg_gray_12bit(b, quality=92)
+        dec = jpeg.decode_jpeg_gray(enc)
+        assert dec.shape == b.shape and dec.dtype == np.uint16
+        assert psnr_db(b, dec) >= 50.0
+    p12 = psnr_db(band, jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray_12bit(band, 92)))
+    p8 = psnr_db(band, jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(band, 92)))
+    assert p12 > p8 + 2.0
+    # q100 near-lossless in the 12-bit domain (quant floor 16 after the
+    # x16 table scaling)
+    dec100 = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray_12bit(band, 100))
+    assert np.abs(
+        (band >> 4).astype(int) - (dec100 >> 4).astype(int)
+    ).max() <= 16
+    # 12-bit COLOR stays gated
+    enc = bytearray(jpeg.encode_jpeg_gray_12bit(band, 92))
+    j = enc.find(b"\xff\xc0")
+    with pytest.raises(NotImplementedError, match="precision 10"):
+        bad = bytearray(enc)
+        bad[j + 4] = 10
+        jpeg.decode_jpeg_gray(bytes(bad))

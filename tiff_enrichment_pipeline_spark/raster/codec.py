@@ -676,8 +676,8 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             # through to Pillow, which would mask corruption.
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # remaining exotic profiles (12-bit, arithmetic coding,
-            # sampling factors >2, Adobe-RGB) → optional Pillow
+            # remaining exotic profiles (arithmetic coding, 12-bit
+            # color, sampling factors >2, Adobe-RGB) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",

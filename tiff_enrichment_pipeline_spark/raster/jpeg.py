@@ -17,8 +17,11 @@ approximation with EOBRUN batching, interleaved DC scans, per-scan DHT
 updates and restart intervals — plus progressive gray/color ENCODERS as
 the test vector source (entropy coding is lossless, so a progressive
 encode decodes bit-identically to the baseline encode at the same
-quality/subsampling; pinned across shapes in tests). 12-bit, arithmetic
-coding and sampling factors >2 stay behind the optional Pillow gate in
+quality/subsampling; pinned across shapes in tests) — and 12-BIT
+precision for grayscale (Pq=1 16-bit quant tables, per-file huffman
+tables reaching the 12-bit categories, 12→16-bit replication out, own
+test encoder). Arithmetic coding, 12-bit color and sampling factors >2
+stay behind the optional Pillow gate in
 ``codec.decode`` — same policy as the remaining exotic TIFF variants
 (JPEG-in-TIFF, multi-sample).
 
@@ -765,6 +768,61 @@ def encode_jpeg_gray_progressive(
     return bytes(out)
 
 
+def encode_jpeg_gray_12bit(band: np.ndarray, quality: int = 92) -> bytes:
+    """uint16 (h, w) band -> 12-bit-precision sequential grayscale JFIF.
+
+    The engine's test-vector source for the 12-bit decode path: samples
+    are the top 12 bits (v >> 4) — half the 8-bit path's quantization
+    loss — with a Pq=1 (16-bit) DQT as 12-bit writers emit. The standard
+    Annex K huffman tables only reach category 11, while 12-bit DC
+    diffs/AC magnitudes reach 15/14, so per-file tables are built from a
+    counting pass (same mechanism as the progressive encoder's per-scan
+    tables)."""
+    h, w = band.shape
+    px = (band.astype(np.uint16) >> 4).astype(np.float64)
+    # scale the 8-bit-range table up so quantization error stays
+    # proportional to the 12-bit sample range
+    qtbl = _quant_table(quality).astype(np.int32) * 16
+    q2d = qtbl.reshape(8, 8).astype(np.float64)
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    pad = np.pad(px, ((0, H - h), (0, W - w)), mode="edge") - 2048.0
+
+    def scan(dc_enc, ac_enc, wtr):
+        prev = 0
+        for by in range(0, H, 8):
+            for bx in range(0, W, 8):
+                prev = _encode_block(
+                    wtr, pad[by : by + 8, bx : bx + 8], q2d,
+                    dc_enc, ac_enc, prev,
+                )
+
+    dc_rec, ac_rec = _SymbolRecorder(), _SymbolRecorder()
+    scan(dc_rec, ac_rec, _BitWriter())
+    dc_bits, dc_vals = _fixed_len_table(dc_rec.used)
+    ac_bits, ac_vals = _fixed_len_table(ac_rec.used)
+    wtr = _BitWriter()
+    scan(_build_codes(dc_bits, dc_vals), _build_codes(ac_bits, ac_vals), wtr)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xFFDB,
+        bytes([0x10])  # Pq=1 (16-bit), table id 0
+        + b"".join(
+            struct.pack(">H", int(x)) for x in qtbl[_ZIGZAG]
+        ),
+    )
+    out += _seg(
+        0xFFC0, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_color_progressive(
     rgb: np.ndarray,
     quality: int = 92,
@@ -1115,10 +1173,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     4:2:0, 4:4:0), plus restart intervals (DRI/RSTn); color output is
     converted to ITU-R 601 luma because the engine's band contract is
     grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
-    decode; raises NotImplementedError for the remaining profiles
-    (12-bit, arithmetic coding, sampling factors above 2, and Adobe-RGB
-    streams whose APP14 declares transform 0) — the ``codec.decode``
-    dispatch routes those to the optional Pillow path.
+    decode, at 8-bit precision (gray + YCbCr) or 12-bit (gray); raises
+    NotImplementedError for the remaining profiles (arithmetic coding,
+    12-bit color, sampling factors above 2, and Adobe-RGB streams whose
+    APP14 declares transform 0) — the ``codec.decode`` dispatch routes
+    those to the optional Pillow path.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -1132,6 +1191,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     progressive = False
     coefs = None  # per-comp (padded_bh, padded_bw, 64) zigzag int32
     prog_geo = None
+    sample_prec = 8
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1145,12 +1205,19 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit jpeg quant tables")
-                qtables[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int32)
-                i += 65
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 65
+                elif pq == 1:
+                    # 16-bit table (B.2.4.1 Pq=1 — the 12-bit-sample case)
+                    qtables[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+                else:
+                    raise ValueError(f"jpeg bad DQT precision {pq}")
         elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
@@ -1160,13 +1227,18 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         elif marker in (0xFFC0, 0xFFC2):
             progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"jpeg precision {prec}")
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"jpeg with {ncomp} components: only grayscale and "
                     "YCbCr supported by the stdlib path"
                 )
+            if prec == 12 and ncomp != 1:
+                raise NotImplementedError(
+                    "12-bit jpeg decodes stdlib-side for grayscale only"
+                )
+            sample_prec = prec
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -1319,7 +1391,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             if tq not in qtables:
                 raise ValueError("jpeg scan references missing quant table")
         planes = _planes_from_coefs(coefs, comps, qtables)
-        return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w)
+        return _finish_jpeg_planes(
+            planes, comps, hmax, vmax, h, w, sample_prec
+        )
     q2ds, dc_tbls, ac_tbls = [], [], []
     for (cid, hi, vi, tq), (dci, aci) in zip(comps, scan_tabs):
         if tq not in qtables:
@@ -1359,12 +1433,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         py = (my * vi + byi) * 8
                         px = (mx * hi + bxi) * 8
                         planes[ci][py : py + 8, px : px + 8] = blk
-    return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, sample_prec)
 
 
-def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
     """Shared decode tail (baseline + progressive): replication-upsample
-    subsampled planes, crop to (h, w), and convert to u16 luma."""
+    subsampled planes, crop to (h, w), and convert to u16 luma.
+    ``prec``: sample precision — 8-bit expands ×257, 12-bit by the
+    standard 12→16 bit replication (v<<4 | v>>8)."""
     ncomp = len(comps)
     full = []
     for ci, (_, hi, vi, _) in enumerate(comps):
@@ -1375,8 +1451,11 @@ def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
             p = np.repeat(p, vmax // vi, axis=0)
         full.append(p[:h, :w])
     if ncomp == 1:
-        px8 = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint16)
-        return px8 * 257
+        center, maxv = 1 << (prec - 1), (1 << prec) - 1
+        px = np.clip(np.round(full[0] + center), 0, maxv).astype(np.uint16)
+        if prec == 12:
+            return (px << 4) | (px >> 8)
+        return px * 257
     # YCbCr -> RGB (JFIF full-range 601) -> ITU-R 601 luma, APPROXIMATING
     # the Pillow fallback's convert('L'): chroma upsampling above is
     # nearest-neighbor replication while libjpeg uses fancy (interpolated)

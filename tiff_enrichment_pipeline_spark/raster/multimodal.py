@@ -15,8 +15,9 @@ Formats (see raster/codec.py for the image ones):
   ``jpeg`` (grayscale + YCbCr 4:4:4/4:2:2/4:2:0 + restart intervals,
   baseline SOF0 and progressive SOF2) all REAL (pure-stdlib codecs);
   LZW/tiled/BigTIFF decode stdlib-side too (r6); the remaining
-  exotics (JPEG-in-TIFF, RGB TIFF, 12-bit/arithmetic JPEG) stay
-  Pillow-gated → NotImplementedError
+  exotics (JPEG-in-TIFF, RGB TIFF, arithmetic/12-bit-color JPEG)
+  stay Pillow-gated → NotImplementedError (12-bit GRAY JPEG decodes
+  stdlib-side, r6)
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian; flac/mp3 →
