@@ -764,3 +764,33 @@ def test_jpeg_12bit_gray():
         bad = bytearray(enc)
         bad[j + 4] = 10
         jpeg.decode_jpeg_gray(bytes(bad))
+
+
+def test_jpeg_sampling_factor_4():
+    """T.81 allows sampling factors 1-4; r6 lifts the 1-2 gate: 4:1:1
+    roundtrips (baseline and progressive bit-identical), while
+    non-integer ratios (3 vs 2) stay gated."""
+    from tiff_enrichment_pipeline_spark.raster import jpeg
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    rgb = np.stack([
+        (127 + 80 * np.sin(xx / 19.0)).clip(0, 255),
+        (127 + 60 * np.cos(yy / 23.0)).clip(0, 255),
+        (127 + 50 * np.sin((xx + yy) / 29.0)).clip(0, 255)],
+        axis=-1).astype(np.uint8)
+    base = jpeg.decode_jpeg_gray(
+        jpeg.encode_jpeg_color(rgb, quality=92, subsampling="411")
+    )
+    assert base.shape == (64, 64)
+    prog = jpeg.decode_jpeg_gray(
+        jpeg.encode_jpeg_color_progressive(rgb, quality=92, subsampling="411")
+    )
+    assert np.array_equal(prog, base)
+    # 3x1 luma vs 2x1... craft non-integer ratio: patch Y sampling to 3
+    enc = bytearray(jpeg.encode_jpeg_color(rgb, quality=92, subsampling="422"))
+    j = enc.find(b"\xff\xc0")
+    enc[j + 11] = 0x31  # Y h=3,v=1 against chroma 1x1 -> ratio 3 (int, fine)
+    # ratio 3 IS integer; force non-integer: chroma 2x1 under Y 3x1
+    enc[j + 14] = 0x21
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        jpeg.decode_jpeg_gray(bytes(enc))

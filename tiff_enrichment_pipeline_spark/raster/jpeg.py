@@ -20,8 +20,9 @@ encode decodes bit-identically to the baseline encode at the same
 quality/subsampling; pinned across shapes in tests) — and 12-BIT
 precision for grayscale (Pq=1 16-bit quant tables, per-file huffman
 tables reaching the 12-bit categories, 12→16-bit replication out, own
-test encoder). Arithmetic coding, 12-bit color and sampling factors >2
-stay behind the optional Pillow gate in
+test encoder), plus sampling factors up to the spec's 1-4 range
+(4:1:1 included). Arithmetic coding, 12-bit color and non-integer
+sampling ratios stay behind the optional Pillow gate in
 ``codec.decode`` — same policy as the remaining exotic TIFF variants
 (JPEG-in-TIFF, multi-sample).
 
@@ -420,7 +421,8 @@ def _color_planes(rgb: np.ndarray, quality: int, subsampling: str):
     tables + sampling geometry (shared by the baseline and progressive
     color encoders; float op order unchanged from the r5 baseline)."""
     h, w = rgb.shape[:2]
-    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+               "411": (4, 1)}
     if subsampling not in factors:
         raise ValueError(f"unknown subsampling {subsampling!r}")
     hY, vY = factors[subsampling]
@@ -1169,13 +1171,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 
     Handles single-component grayscale (non-interleaved Ns=1 scan —
     sampling factors are ignored per T.81 A.2) and 3-component
-    interleaved YCbCr with per-axis sampling factors 1-2 (4:4:4, 4:2:2,
+    interleaved YCbCr with per-axis sampling factors 1-4 (4:4:4, 4:2:2,
     4:2:0, 4:4:0), plus restart intervals (DRI/RSTn); color output is
     converted to ITU-R 601 luma because the engine's band contract is
     grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
     decode, at 8-bit precision (gray + YCbCr) or 12-bit (gray); raises
     NotImplementedError for the remaining profiles (arithmetic coding,
-    12-bit color, sampling factors above 2, and Adobe-RGB streams whose
+    12-bit color, non-integer sampling ratios, and Adobe-RGB streams whose
     APP14 declares transform 0) — the ``codec.decode`` dispatch routes
     those to the optional Pillow path.
     """
@@ -1249,13 +1251,20 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     # scan, so normalize them — real encoders do emit
                     # e.g. 2x2 on single-component files
                     hi = vi = 1
-                if hi not in (1, 2) or vi not in (1, 2):
+                if not (1 <= hi <= 4) or not (1 <= vi <= 4):
                     raise NotImplementedError(
-                        f"jpeg sampling factor {hi}x{vi}: only 1-2 per "
-                        "axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0) decodes "
-                        "stdlib-side"
+                        f"jpeg sampling factor {hi}x{vi}: T.81 allows "
+                        "1-4 per axis"
                     )
                 comps.append((cid, hi, vi, tq))
+            hmax_s = max(c[1] for c in comps)
+            vmax_s = max(c[2] for c in comps)
+            if any(hmax_s % c[1] or vmax_s % c[2] for c in comps):
+                # 3:1-style ratios need fractional upsampling; the
+                # replication upsampler handles integer ratios only
+                raise NotImplementedError(
+                    "jpeg non-integer sampling ratio between components"
+                )
             if ncomp == 3 and {c[0] for c in comps} == {82, 71, 66}:
                 # component ids 'R','G','B': raw-RGB stream (no color
                 # transform) — same gate as APP14 transform=0
