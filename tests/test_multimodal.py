@@ -139,8 +139,18 @@ def test_jpeg_payloads_flow_through_multimodal(spark):
             10000 + 700 * x + 400 * y + 2000 * np.sin((x + seed) / 5.0)
         ).astype(np.uint16)
 
+    # rotate the JPEG profile per row so the distributed path exercises
+    # baseline, progressive (both scan scripts) and 12-bit (r6)
+    encoders = [
+        jpeg.encode_jpeg_gray,
+        lambda b: jpeg.encode_jpeg_gray_progressive(b, successive=False),
+        lambda b: jpeg.encode_jpeg_gray_progressive(b, successive=True),
+        jpeg.encode_jpeg_gray_12bit,
+        jpeg.encode_jpeg_gray,
+        jpeg.encode_jpeg_gray_12bit,
+    ]
     rows = [
-        (i, jpeg.encode_jpeg_gray(smooth(i)), 32, 24, "jpeg")
+        (i, encoders[i](smooth(i)), 32, 24, "jpeg")
         for i in range(6)
     ]
     df = spark.createDataFrame(
@@ -149,7 +159,7 @@ def test_jpeg_payloads_flow_through_multimodal(spark):
     out = {r["image_id"]: r for r in extract_image_features(df).collect()}
     assert len(out) == 6
     for i in range(6):
-        decoded = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(smooth(i)))
+        decoded = jpeg.decode_jpeg_gray(encoders[i](smooth(i)))
         m, s, p95, e = image_features_np(decoded)
         assert out[i]["px_mean"] == pytest.approx(m)
         assert out[i]["px_std"] == pytest.approx(s)
