@@ -139,9 +139,20 @@ def _calibrate(spark) -> dict[str, float]:
         )
         for _ in range(3)
     )
+    # DRAM-bandwidth probe (r6 correction): the GEMM probe is
+    # cache-resident (18 MB working set) and OPENBLAS is pinned to one
+    # thread in this process, so it CANNOT see sibling-VM memory
+    # contention — the very phenomenon that halves Spark throughput with
+    # no guest-visible load. A 512 MB streaming copy is bandwidth-bound
+    # and does.
+    big = np.zeros(64_000_000, dtype=np.float64)  # 512 MB
+    src = np.ones_like(big)
+    stream = min(_timed(lambda: big.__setitem__(slice(None), src))
+                 for _ in range(3))
     return {
         "calib_gemm_sec": round(gemm, 3),
         "calib_spark_sec": round(jvm, 3),
+        "calib_stream_sec": round(stream, 3),
     }
 
 
