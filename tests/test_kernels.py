@@ -449,12 +449,14 @@ def test_jpeg_color_444_decode(tmp_path):
     assert payload.count(b"\xff\xdb") == 2
     assert payload.count(b"\xff\xc4") == 4
 
-    # exotic sampling factors (>2 per axis) stay gated: patch the SOF
-    # sampling byte of Y. SOF0 body: len(2) prec(1) h(2) w(2) nf(1),
-    # then (id, samp, tq)*3
+    # out-of-spec sampling factors (>4 per axis, T.81) stay gated: patch
+    # the SOF sampling byte of Y. SOF0 body: len(2) prec(1) h(2) w(2)
+    # nf(1), then (id, samp, tq)*3. (Factors up to 4 decode since r6, so
+    # the old 3x1 patch no longer gates — it desyncs the entropy stream
+    # and errors as corrupt instead.)
     sub = bytearray(payload)
     j = sub.find(b"\xff\xc0")
-    sub[j + 11] = 0x31  # Y component sampling 3x1
+    sub[j + 11] = 0x51  # Y component sampling 5x1
     with pytest.raises(NotImplementedError, match="sampling factor"):
         jpeg.decode_jpeg_gray(bytes(sub))
 

@@ -230,6 +230,14 @@ def _lzw_encode(data: bytes) -> bytes:
             nxt, w = 258, 9
     if cur:
         emit(table[cur], w)
+        # the DECODER performs a table add for this final code too and
+        # may bump its width before reading EOI — mirror that bump here
+        # or streams whose last data code lands exactly on the
+        # 510/1022/2046 boundary emit EOI one bit narrow (r6 review:
+        # libtiff's LZWPostEncode increments free_ent for this reason)
+        nxt += 1
+        if nxt == (1 << w) - 1 and w < 12:
+            w += 1
     emit(257, w)
     if n:
         out.append((acc << (8 - n)) & 0xFF)
@@ -464,13 +472,14 @@ def encode_tiff_u16(
 
 
 def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
-    """Baseline TIFF decode → (uint16 array, geo metadata dict).
+    """TIFF decode → (uint16 array, geo metadata dict).
 
-    Handles both byte orders, strip layout, Compression 1/8, Predictor
+    Handles both byte orders, strip AND tiled layout, classic and
+    BigTIFF containers, Compression 1/5 (LZW)/8 (Deflate), Predictor
     1/2, bit depth 8/16, single-plane grayscale. Raises
-    NotImplementedError on variants outside the baseline profile (tiled
-    layout, other compressions, multi-sample) so ``decode`` can route
-    those to the optional-Pillow fallback. Geo metadata (when the GeoTIFF
+    NotImplementedError on variants outside that profile (JPEG-in-TIFF,
+    multi-sample/RGB, float samples) so ``decode`` can route those to
+    the optional-Pillow fallback. Geo metadata (when the GeoTIFF
     tags are present): ``pixel_scale``, ``tiepoint``, ``origin``,
     ``epsg``, ``model_type``, ``raster_type``."""
     if payload[:2] == b"II":
@@ -677,7 +686,7 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
             # remaining exotic profiles (arithmetic coding, 12-bit
-            # color, sampling factors >2, Adobe-RGB) → optional Pillow
+            # color, non-integer sampling ratios, Adobe-RGB) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",
@@ -689,14 +698,15 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return arr
     if fmt == "tiff":
         try:
-            arr = decode_tiff_u16(payload)  # stdlib baseline profile
+            arr = decode_tiff_u16(payload)  # stdlib profile (r6: incl.
+            # LZW, tiled layout and BigTIFF)
         except NotImplementedError:
-            # exotic variant (tiles, LZW/JPEG, RGB, BigTIFF) → optional
-            # Pillow
+            # exotic variant (JPEG-in-TIFF, RGB/multi-sample, float
+            # samples) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "tiff",
-                "baseline grayscale strips (none/deflate) decode "
-                "stdlib-only",
+                "grayscale strip/tile TIFF (none/lzw/deflate, classic/"
+                "BigTIFF) decodes stdlib-only",
             )
         if arr.shape != (h, w):
             raise ValueError(

@@ -322,6 +322,19 @@ def _encode_block(
     coef = _D @ block @ _D.T
     qc = np.round(coef / q2d).astype(np.int64)
     zz = qc.flatten()[_ZIGZAG]
+    return _entropy_block(writer, zz, dc_enc, ac_enc, prev_dc)
+
+
+def _entropy_block(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Sequential entropy coding of ONE quantized zigzag block; split
+    from _encode_block so callers with precomputed coefficients (the
+    12-bit encoder's counting+emit passes) don't run the DCT twice."""
     diff = int(zz[0]) - prev_dc
     new_dc = int(zz[0])
     cat, low = _magnitude(diff)
@@ -788,15 +801,14 @@ def encode_jpeg_gray_12bit(band: np.ndarray, quality: int = 92) -> bytes:
     q2d = qtbl.reshape(8, 8).astype(np.float64)
     H, W = (h + 7) & ~7, (w + 7) & ~7
     pad = np.pad(px, ((0, H - h), (0, W - w)), mode="edge") - 2048.0
+    # coefficients once; the counting and emit passes entropy-code the
+    # same cached array (r6 review: the DCT is the dominant encode cost)
+    flat = _zz_blocks(pad, q2d).reshape(-1, 64)
 
     def scan(dc_enc, ac_enc, wtr):
         prev = 0
-        for by in range(0, H, 8):
-            for bx in range(0, W, 8):
-                prev = _encode_block(
-                    wtr, pad[by : by + 8, bx : bx + 8], q2d,
-                    dc_enc, ac_enc, prev,
-                )
+        for blk in flat:
+            prev = _entropy_block(wtr, blk, dc_enc, ac_enc, prev)
 
     dc_rec, ac_rec = _SymbolRecorder(), _SymbolRecorder()
     scan(dc_rec, ac_rec, _BitWriter())
