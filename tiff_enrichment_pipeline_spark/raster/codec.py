@@ -547,18 +547,24 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     rps = tags.get(278, [h])[0] or h
     pred = tags.get(317, [1])[0]
     sfmt = tags.get(339, [1])[0]
-    if spp != 1 or bits not in (8, 16) or sfmt != 1:
+    is_float = sfmt == 3
+    if spp != 1 or (sfmt, bits) not in ((1, 8), (1, 16), (3, 32)):
         raise NotImplementedError(
-            f"TIFF profile outside baseline grayscale (spp={spp}, bits={bits}, fmt={sfmt})"
+            f"TIFF profile outside baseline grayscale/float-DEM "
+            f"(spp={spp}, bits={bits}, fmt={sfmt})"
         )
     if comp not in (1, 5, 8):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
-    if pred not in (1, 2):
+    if pred not in (1, 2) or (is_float and pred != 1):
+        # predictor 3 (floating-point byte shuffling) stays gated
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
 
     nbytes = bits // 8
     mask = (1 << bits) - 1
-    dt = e + ("u2" if bits == 16 else "u1")
+    if is_float:
+        dt, out_dt = e + "f4", np.float32
+    else:
+        dt, out_dt = e + ("u2" if bits == 16 else "u1"), np.uint16
 
     def _chunk(o: int, c: int, nrows: int, ncols: int) -> np.ndarray:
         raw = payload[o : o + c]
@@ -569,7 +575,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         s = (
             np.frombuffer(raw[: nrows * ncols * nbytes], dtype=dt)
             .reshape(nrows, ncols)
-            .astype(np.uint16)
+            .astype(out_dt)
         )
         if pred == 2:
             s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(
@@ -581,7 +587,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         # tiles are stored full tw×tl (edge tiles padded, TIFF6 §15) in
         # row-major tile order; assemble then crop
         tiles_across = -(-w // tw)
-        arr = np.zeros((-(-h // tl) * tl, tiles_across * tw), np.uint16)
+        arr = np.zeros((-(-h // tl) * tl, tiles_across * tw), out_dt)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = divmod(idx, tiles_across)
             arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = _chunk(
@@ -617,7 +623,89 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
 
 
 def decode_tiff_u16(payload: bytes) -> np.ndarray:
-    return decode_geotiff(payload)[0]
+    arr = decode_geotiff(payload)[0]
+    if arr.dtype != np.uint16:
+        # float-sample TIFFs are DEM sources (sources/dem_geotiff), not
+        # band payloads — keep the u16 band contract explicit
+        raise NotImplementedError(
+            "float-sample TIFF is not a band payload; use decode_geotiff"
+        )
+    return arr
+
+
+def encode_tiff_f32(
+    grid: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    geo: dict | None = None,
+    level: int = 6,
+) -> bytes:
+    """float32 (h, w) raster -> GeoTIFF (SampleFormat 3, 32-bit) — the
+    profile real-world DEMs ship in (USGS 3DEP / SRTM GeoTIFF exports).
+    Strip layout, Compression 1/8, predictor 1 (the float predictor 3
+    byte-shuffle stays out of scope). ``geo`` as in encode_tiff_u16."""
+    if grid.ndim != 2:
+        raise ValueError("grid must be 2-D")
+    arr = np.ascontiguousarray(grid.astype("<f4"))
+    h, w = arr.shape
+    if compression == "none":
+        comp_tag = 1
+    elif compression == "deflate":
+        comp_tag = 8
+    else:
+        raise ValueError(f"unsupported tiff compression {compression!r}")
+    rows_per_strip = max(1, min(rows_per_strip, h))
+
+    data = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offsets, counts = [], []
+    for y0 in range(0, h, rows_per_strip):
+        raw = arr[y0 : y0 + rows_per_strip].tobytes()
+        piece = zlib.compress(raw, level) if comp_tag == 8 else raw
+        if len(data) % 2:
+            data += b"\x00"
+        offsets.append(len(data))
+        counts.append(len(piece))
+        data += piece
+
+    tags: list[tuple[int, int, list]] = [
+        (256, _T_LONG, [w]),
+        (257, _T_LONG, [h]),
+        (258, _T_SHORT, [32]),
+        (259, _T_SHORT, [comp_tag]),
+        (262, _T_SHORT, [1]),
+        (273, _T_LONG, offsets),
+        (277, _T_SHORT, [1]),
+        (278, _T_LONG, [rows_per_strip]),
+        (279, _T_LONG, counts),
+        (339, _T_SHORT, [3]),  # IEEE float samples
+    ]
+    if geo is not None:
+        sx, sy = geo["pixel_scale"]
+        west, north = geo["origin"]
+        epsg = int(geo.get("epsg", 4326))
+        keydir = [
+            1, 1, 0, 3,
+            _GK_MODEL_TYPE, 0, 1, 2,
+            _GK_RASTER_TYPE, 0, 1, 1,
+            _GK_GEODETIC_CRS, 0, 1, epsg,
+        ]
+        tags.append((33550, _T_DOUBLE, [float(sx), float(sy), 0.0]))
+        tags.append(
+            (33922, _T_DOUBLE,
+             [0.0, 0.0, 0.0, float(west), float(north), 0.0])
+        )
+        tags.append((34735, _T_SHORT, keydir))
+
+    entries = [_tiff_entry_bytes(t, ty, v, data) for t, ty, v in sorted(tags)]
+    if len(data) % 2:
+        data += b"\x00"
+    struct.pack_into("<I", data, 4, len(data))
+    data += struct.pack("<H", len(entries))
+    for en in entries:
+        data += en
+    data += struct.pack("<I", 0)
+    return bytes(data)
 
 
 def _pillow_gray_u16(payload: bytes, fmt: str, hint: str) -> np.ndarray:

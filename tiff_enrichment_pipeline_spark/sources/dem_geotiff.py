@@ -1,0 +1,146 @@
+"""Float32 GeoTIFF DEM source — distributed tile ingestion.
+
+Real-world DEMs (the reference's elevation sources ``usgs_3dep`` /
+``nasa_srtm``, scripts/init-db.sql:59,62) ship as float32 GeoTIFF files,
+one per tile. This module round-trips the engine's DEM tile table
+through that EXTERNAL format:
+
+- ``export_dem_geotiffs``: dem_tiles DataFrame -> one float32 GeoTIFF
+  per tile (SampleFormat 3, deflate strips, ModelPixelScale/Tiepoint/
+  GeoKeyDirectory EPSG:4326), written distributively via mapInPandas —
+  each task writes its own partition's files, no driver collect.
+- ``load_dem_geotiffs``: a directory/glob of such files ->
+  ``(tile_x, tile_y, grid, accuracy_m, source)`` rows matching
+  ``fixtures.dem_tiles_df``'s schema, via ``spark.read.format
+  ("binaryFile")`` + one mapInPandas decode stage. File bytes are read
+  where they live (at scale: object-store listing parallelism), decode
+  is Arrow-batched, and the result feeds ``operators.elevation`` /
+  ``operators.terrain`` directly — value-identical to the in-memory
+  fixture (pinned by tests/test_sinks_reports.py).
+
+Axis convention: the engine's grid rows run SOUTH->NORTH (grid[j, i],
+j = lat axis ascending — fixtures.dem_tile_grid), while GeoTIFF rasters
+run NORTH->SOUTH from an (west, north) origin with a negative y scale.
+Both functions flip rows at the boundary; tile ids are recovered from
+the origin: tx = round(west / DEM_TILE_DEG), ty = round(north /
+DEM_TILE_DEG) - 1.
+
+100 TB note: a planetary 30 m DEM is ~15k x 15k tiles of ~4 KiB-1 MiB —
+binaryFile splits the listing across executors and nothing ever
+collects; the loaded table is exactly the build side the partitioned
+(tile-bucketed) elevation strategy shuffles on.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from tiff_enrichment_pipeline_spark.geotables import (
+    DEM_N,
+    DEM_STEP,
+    DEM_TILE_DEG,
+)
+from tiff_enrichment_pipeline_spark.raster import codec
+
+_LOAD_SCHEMA = (
+    "tile_x int, tile_y int, grid binary, accuracy_m double, source string"
+)
+_EXPORT_SCHEMA = "tile_x int, tile_y int, path string, nbytes long"
+
+
+def export_dem_geotiffs(
+    dem_tiles: DataFrame, out_dir: str, *, compression: str = "deflate"
+) -> DataFrame:
+    """Write each ``(tile_x, tile_y, grid)`` row as ``dem_{tx}_{ty}.tif``
+    (float32 GeoTIFF) under ``out_dir``; returns a lazy manifest
+    ``tile_x tile_y path nbytes``."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                grid = np.frombuffer(r["grid"], dtype="<f4").reshape(
+                    DEM_N, DEM_N
+                )
+                payload = codec.encode_tiff_f32(
+                    np.flipud(grid),  # engine south-up -> GeoTIFF north-down
+                    compression=compression,
+                    geo={
+                        "pixel_scale": (DEM_STEP, DEM_STEP),
+                        "origin": (
+                            tx * DEM_TILE_DEG,
+                            (ty + 1) * DEM_TILE_DEG,
+                        ),
+                        "epsg": 4326,
+                    },
+                )
+                path = os.path.join(out_dir, f"dem_{tx}_{ty}.tif")
+                with open(path, "wb") as f:
+                    f.write(payload)
+                rows.append((tx, ty, path, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["tile_x", "tile_y", "path", "nbytes"]
+            )
+
+    return dem_tiles.select("tile_x", "tile_y", "grid").mapInPandas(
+        _write, schema=_EXPORT_SCHEMA
+    )
+
+
+def load_dem_geotiffs(
+    spark: SparkSession,
+    path: str,
+    *,
+    accuracy_m: float = 1.0,
+    source: str = "geotiff",
+) -> DataFrame:
+    """Directory/glob of float32 GeoTIFF tiles -> the engine's DEM tile
+    table. Tile ids derive from each file's GeoTIFF origin; the grid
+    must be DEM_N x DEM_N at DEM_STEP resolution (a mismatched file is a
+    hard ValueError — silently resampling a DEM would corrupt every
+    downstream elevation)."""
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr, meta = codec.decode_geotiff(bytes(r["content"]))
+                if arr.dtype != np.float32 or arr.shape != (DEM_N, DEM_N):
+                    raise ValueError(
+                        f"{r['path']}: expected {DEM_N}x{DEM_N} float32 "
+                        f"DEM tile, got {arr.dtype} {arr.shape}"
+                    )
+                if "origin" not in meta or "pixel_scale" not in meta:
+                    raise ValueError(f"{r['path']}: missing GeoTIFF tags")
+                sx, sy = meta["pixel_scale"]
+                if abs(sx - DEM_STEP) > 1e-12 or abs(sy - DEM_STEP) > 1e-12:
+                    raise ValueError(
+                        f"{r['path']}: pixel scale ({sx},{sy}) != engine "
+                        f"DEM_STEP {DEM_STEP}"
+                    )
+                west, north = meta["origin"]
+                tx = int(round(west / DEM_TILE_DEG))
+                ty = int(round(north / DEM_TILE_DEG)) - 1
+                grid = np.ascontiguousarray(
+                    np.flipud(arr).astype("<f4")  # north-down -> south-up
+                )
+                rows.append(
+                    (tx, ty, grid.tobytes(), float(accuracy_m), source)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_x", "tile_y", "grid", "accuracy_m", "source"],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        _decode, schema=_LOAD_SCHEMA
+    )
