@@ -3412,8 +3412,10 @@ _DRIVER_PRIORITY = [
     # round-3 geo/raster operators (rotated in, VERDICT r3 #1)
     "terrain", "zonal_elevation", "within_radius", "range_band",
     "cell_pyramid",
-    # round-5 rotation: write-clustering cell indexes (VERDICT r4 #1)
-    "zorder_encode", "hilbert_encode",
+    # round-5 rotation: write-clustering cell indexes (VERDICT r4 #1);
+    # r7: hilbert_encode rotated out (zorder keeps the family) for
+    # asof_weather's fresh vintage (VERDICT r6 #8)
+    "zorder_encode", "asof_weather",
     # parsing / generated columns
     "filename_classify", "exif_altitude_parse", "generated_columns",
     # joins / aggregation / grouping forms
@@ -3426,10 +3428,13 @@ _DRIVER_PRIORITY = [
     "dedup_checksum", "lsh_dedup_clusters", "corpus_curation", "langid",
     "phash_dedup_clusters", "embedding_dedup_clusters",
     "ann_topk", "ivf_exhaustive",
-    # round-5 rotation: sampling/splits + incremental index dedup
-    "train_split", "stratified_sample", "incremental_dedup",
-    # streaming equivalence
-    "streaming_hourly", "streaming_join",
+    # round-5 rotation: sampling/splits + incremental index dedup; r7:
+    # train_split rotated out (stratified_sample keeps the family) for
+    # pivot_status's fresh vintage (VERDICT r6 #8)
+    "pivot_status", "stratified_sample", "incremental_dedup",
+    # streaming equivalence; r7: session/join alternate per VERDICT r4 —
+    # streaming_session back in, streaming_join out (fresh vintage)
+    "streaming_hourly", "streaming_session",
     "streaming_upsert_eq",
     # raster lifecycle — every prefix entry now VALUE-checked (r6):
     # capture_pipeline_rel is the NDVI/veg/packing slice of the capture
@@ -3445,10 +3450,16 @@ _DEMOTED = [
     # oracle-expressible slice); pixel goldens keep the full lifecycle
     # pinned in tests/test_capture_pipeline.py
     "capture_pipeline",
-    # rotated out round 5 — all five earned driver-green rows in r4; their
-    # §2 family keeps an in-cap representative (see prefix comment)
-    "pivot_status", "streaming_session", "resume_antijoin",
-    "quality_score", "asof_weather",
+    # rotated out round 5 — earned driver-green rows in r4; their §2
+    # family keeps an in-cap representative (see prefix comment). r7:
+    # pivot_status / streaming_session / asof_weather rotated BACK in
+    # for a fresh vintage (VERDICT r6 #8)
+    "resume_antijoin", "quality_score",
+    # rotated out round 7 to make room (each family stays in-cap:
+    # zorder_encode = write-clustering, stratified_sample = sampling,
+    # streaming_hourly+session+upsert = streaming; all three rotated-out
+    # names were driver-green r5 AND r6)
+    "hilbert_encode", "train_split", "streaming_join",
     # rows-only variant superseded in-cap by multimodal_features_rel (r5);
     # resize/edge-energy pixel kernels stay pytest-pinned
     "multimodal_features",

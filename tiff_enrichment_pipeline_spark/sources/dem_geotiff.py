@@ -58,10 +58,19 @@ def export_dem_geotiffs(
 ) -> DataFrame:
     """Write each ``(tile_x, tile_y, grid)`` row as ``dem_{tx}_{ty}.tif``
     (float32 GeoTIFF) under ``out_dir``; returns a lazy manifest
-    ``tile_x tile_y path nbytes``."""
-    os.makedirs(out_dir, exist_ok=True)
+    ``tile_x tile_y path nbytes``.
+
+    ``out_dir`` must be a SHARED filesystem (NFS/Lustre/fuse-mounted
+    object store) when running multi-node: tasks write with plain
+    ``open()``, so on a cluster without a shared mount the files land on
+    worker-local disks where ``load_dem_geotiffs`` can't see them. For
+    object stores without a fuse mount, write the manifest's ``grid``
+    column via ``df.write`` instead (ADVICE r6)."""
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task, not driver-side: on a multi-node cluster the driver's
+        # mkdir doesn't exist on workers (ADVICE r6)
+        os.makedirs(out_dir, exist_ok=True)
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
