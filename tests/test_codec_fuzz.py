@@ -1,0 +1,199 @@
+"""Corruption fuzz + differential checks for the hand-written codec
+surface (VERDICT r6 #4).
+
+`raster/jpeg.py` + `raster/codec.py` are the largest spec-parsing code in
+the repo, and in production they sit behind ``decode_status`` — whose
+contract is that ANY damaged payload CLASSIFIES (raises) instead of
+hanging the executor, exhausting memory, or silently returning wrong
+pixels. The fuzz here drives exactly that contract:
+
+- seeded byte-level mutations (flips, zero/0xFF stomps, truncations,
+  splices) of valid streams from the repo's own encoder matrix must
+  either decode to a sane array or raise — within a wall-clock bound and
+  without planet-sized allocations;
+- where Pillow is importable, stdlib decodes of the encoder matrix are
+  diffed against Pillow (bit-exact for lossless containers, PSNR-bounded
+  for JPEG).
+
+The mutation schedule is deterministic (fixed seed) so a found
+counterexample reproduces; the encoder matrix mirrors the fixture
+rotation profiles (fixtures.band_rows_from_orders).
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+
+import numpy as np
+import pytest
+
+from tiff_enrichment_pipeline_spark.raster import codec, jpeg
+
+DECODE_TIMEOUT_S = 10
+# a corrupt header must not provoke an allocation beyond ~64 MB; tracked
+# via a numpy-side cap in the decoders (fuzz finding r7 if violated)
+_H = _W = 64
+
+
+def _pixels(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    smooth = rng.integers(0, 60000, (_H, _W)).astype(np.uint16)
+    return smooth
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _decode_bounded(payload: bytes, fmt: str):
+    """codec.decode with a hard wall-clock bound. SIGALRM interrupts the
+    pure-Python decoder loops; numpy kernel calls between checks are
+    short. Only usable from the main thread — pytest runs tests there."""
+    if threading.current_thread() is not threading.main_thread():
+        return codec.decode(payload, _W, _H, fmt)
+
+    def _raise(signum, frame):
+        raise _Timeout(f"decode exceeded {DECODE_TIMEOUT_S}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(DECODE_TIMEOUT_S)
+    try:
+        return codec.decode(payload, _W, _H, fmt)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _encoder_matrix() -> list[tuple[str, str, bytes]]:
+    """(label, fmt, payload) across every stdlib-real container profile."""
+    px = _pixels(7)
+    px8 = (px >> 8).astype(np.uint8)
+    out = [
+        ("png", "png", codec.encode_png_u16(px)),
+        ("raw", "raw-u16", codec.encode_raw_u16(px)),
+        ("tiff-none", "tiff", codec.encode_tiff_u16(px, compression="none")),
+        ("tiff-deflate", "tiff", codec.encode_tiff_u16(px)),
+        ("tiff-lzw", "tiff", codec.encode_tiff_u16(px, compression="lzw")),
+        (
+            "tiff-tiled-lzw",
+            "tiff",
+            codec.encode_tiff_u16(px, compression="lzw", tile=16),
+        ),
+        (
+            "bigtiff",
+            "tiff",
+            codec.encode_tiff_u16(px, bigtiff=True),
+        ),
+        ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
+        (
+            "jpeg-prog",
+            "jpeg",
+            jpeg.encode_jpeg_gray_progressive(px8, quality=85),
+        ),
+    ]
+    return out
+
+
+def _mutations(payload: bytes, rng: np.random.Generator, n: int):
+    """Deterministic stream of damaged variants."""
+    L = len(payload)
+    for _ in range(n):
+        kind = int(rng.integers(0, 5))
+        b = bytearray(payload)
+        if kind == 0:  # single-bit flip
+            i = int(rng.integers(0, L))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 1:  # byte stomp 0x00/0xFF
+            i = int(rng.integers(0, L))
+            b[i] = 0x00 if rng.integers(0, 2) else 0xFF
+        elif kind == 2:  # truncation
+            b = b[: int(rng.integers(1, L))]
+        elif kind == 3:  # 4-byte splice of random garbage
+            i = int(rng.integers(0, max(1, L - 4)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4, dtype=np.uint8))
+        else:  # stomp inside the header region (dims/offsets live there)
+            i = int(rng.integers(0, min(64, L)))
+            b[i] = int(rng.integers(0, 256))
+        yield bytes(b)
+
+
+@pytest.mark.parametrize(
+    "label,fmt,payload",
+    [pytest.param(*t, id=t[0]) for t in _encoder_matrix()],
+)
+def test_fuzz_decode_always_classifies(label, fmt, payload):
+    """120 seeded mutations per profile: decode must return a (64,64)
+    uint16 array or raise ValueError/NotImplementedError (the two
+    classifiable outcomes) within the time bound. Anything else — hang,
+    MemoryError from a corrupt dimension field, struct.error leaking
+    through, interpreter crash — is a production quarantine escape."""
+    rng = np.random.default_rng(abs(hash(label)) % (2**32))
+    survived = 0
+    for mutant in _mutations(payload, rng, 120):
+        try:
+            arr = _decode_bounded(mutant, fmt)
+        except (ValueError, NotImplementedError):
+            continue  # classified: corrupt / unsupported
+        except _Timeout:
+            pytest.fail(f"{label}: decode hung on a mutated stream")
+        except MemoryError:
+            pytest.fail(f"{label}: unbounded allocation from corrupt header")
+        except Exception as e:  # noqa: BLE001 — the assertion target
+            pytest.fail(
+                f"{label}: unclassified {type(e).__name__}: {e} "
+                f"(decode_status would still route it, but the codec "
+                f"contract is ValueError/NotImplementedError)"
+            )
+        else:
+            # mutation happened to keep the stream decodable (e.g. flip
+            # inside pixel data of an uncompressed strip) — sane shape
+            assert arr.shape == (_H, _W) and arr.dtype == np.uint16
+            survived += 1
+    # sanity: SOME mutants must fail, else the harness isn't mutating
+    assert survived < 120
+
+
+def test_fuzz_truncation_ladder():
+    """Every prefix-truncation length of one payload per container family
+    must classify (truncation is THE dominant real-world corruption)."""
+    px = _pixels(11)
+    for fmt, payload in [
+        ("tiff", codec.encode_tiff_u16(px, compression="lzw")),
+        ("png", codec.encode_png_u16(px)),
+        ("jpeg", jpeg.encode_jpeg_gray((px >> 8).astype(np.uint8))),
+    ]:
+        step = max(1, len(payload) // 97)  # ~97 lengths per payload
+        for cut in range(1, len(payload), step):
+            try:
+                arr = _decode_bounded(payload[:cut], fmt)
+                assert arr.shape == (_H, _W)
+            except (ValueError, NotImplementedError):
+                pass
+            except _Timeout:
+                pytest.fail(f"{fmt}: hang at truncation {cut}")
+
+
+def test_differential_vs_pillow_if_available():
+    """Where Pillow exists, stdlib decodes must agree with it: bit-exact
+    for lossless containers, PSNR≥40 dB for JPEG (the lossy bound the
+    north_star sets for payload preservation)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    px = _pixels(13)
+    for label, fmt, payload in _encoder_matrix():
+        if fmt == "raw-u16":
+            continue
+        try:
+            ours = codec.decode(payload, _W, _H, fmt)
+        except NotImplementedError:
+            continue
+        theirs = np.asarray(PIL.open(io.BytesIO(payload)))
+        if theirs.dtype == np.uint8:
+            ours_cmp = (ours >> 8).astype(np.uint8) if fmt != "jpeg" else ours
+            assert codec.psnr_db(
+                ours_cmp.astype(np.uint16), theirs.astype(np.uint16), peak=255
+            ) >= 40, label
+        else:
+            assert np.array_equal(ours, theirs.astype(np.uint16)), label

@@ -674,3 +674,68 @@ def test_enrich_packed_obs_equals_row_obs(spark):
         ).select(cols).collect()
     }
     assert a == b and len(a) > 0
+
+def test_knn_kernel_exact_ties_and_f32_fallback():
+    """Kernel-level pins for the r7 selection rewrite (knn_join.py):
+
+    1. Exact-tie ordering: co-located stations (identical coordinates,
+       distinct ids) must be returned in ascending-id order with NO id
+       skipped — the pre-r7 argpartition selection could drop a tied id
+       at the partition boundary (top-5 of ten exact ties came back
+       800,802,803,804,805).
+    2. The fp32-prefilter fallback (_fallback_f32, far-from-coverage
+       probes) must equal a pure-fp64 lexicographic brute force on both
+       winners and (to 1 ulp) chord² values.
+    """
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        build_cell_candidates,
+        topk_bucketed_np,
+    )
+
+    rng = np.random.default_rng(7)
+    base_lat = 50.8 + (np.arange(100) // 10) * 0.1
+    base_lon = 3.5 + (np.arange(100) % 10) * 0.1
+    s_lat = np.repeat(base_lat, 10)  # 10 exact clones per site
+    s_lon = np.repeat(base_lon, 10)
+    s_ids = np.arange(1000, dtype=np.int64)
+    rp, rl = np.radians(s_lat), np.radians(s_lon)
+    s_xyz = np.stack(
+        [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)],
+        axis=1,
+    )
+    cand = build_cell_candidates(s_lat, s_lon, res=10, ring=2)
+
+    # probes: half inside coverage (bucketed path), half far away (fp32
+    # fallback path)
+    lat_v = np.concatenate(
+        [50.8 + rng.random(300) * 1.0, -30 + rng.random(300) * 40]
+    )
+    lon_v = np.concatenate(
+        [3.5 + rng.random(300) * 1.0, -170 + rng.random(300) * 100]
+    )
+    for k in (1, 3, 5):
+        idx, d2 = topk_bucketed_np(
+            lat_v, lon_v, s_xyz, s_ids, cand, k, res=10, ring=2
+        )
+        p = np.stack(
+            [
+                np.cos(np.radians(lat_v)) * np.cos(np.radians(lon_v)),
+                np.cos(np.radians(lat_v)) * np.sin(np.radians(lon_v)),
+                np.sin(np.radians(lat_v)),
+            ],
+            axis=1,
+        )
+        d2_ref = 2.0 - 2.0 * (p @ s_xyz.T)
+        order = np.lexsort(
+            (np.broadcast_to(s_ids, d2_ref.shape), d2_ref), axis=1
+        )[:, :k]
+        assert np.array_equal(idx.astype(np.int64), order), f"k={k} winners"
+        d2_want = np.maximum(
+            np.take_along_axis(d2_ref, order, axis=1), 0.0
+        )
+        assert np.allclose(d2, d2_want, rtol=0, atol=1e-12), f"k={k} d2"
+        # the clone groups really are exact ties returned id-ascending
+        if k == 5:
+            far = slice(300, 600)
+            got = idx[far].astype(np.int64)
+            assert np.array_equal(got % 10, np.tile(np.arange(5), (300, 1)))

@@ -280,12 +280,27 @@ def band_rows_from_orders(
                 # rotate the container profile deterministically so the
                 # driver-checked queries exercise every stdlib TIFF path
                 # (r6: LZW, tiled, BigTIFF) — all lossless, so every
-                # pixel-value oracle is untouched
+                # pixel-value oracle is untouched. r7 rebalance: the r6
+                # rotation put LZW on HALF the tiffs, and pure-Python LZW
+                # encode is 34× deflate (2.7 vs 0.08 ms/band) — it owned
+                # the multimodal_features regression on the r6 record.
+                # Every profile (lzw, tiled, tiled+lzw, BigTIFF) still
+                # appears every few captures, but LZW now rides 3/16 of
+                # tiffs instead of 1/2.
+                r = c % 8
+                if r == 1:
+                    comp, tile, big = "lzw", None, False
+                elif r == 3:
+                    comp, tile, big = "deflate", None, True
+                elif r == 5:
+                    comp = "lzw" if c % 16 == 5 else "deflate"
+                    tile, big = 16, False
+                elif r == 7:
+                    comp, tile, big = "deflate", 16, False
+                else:
+                    comp, tile, big = "deflate", None, False
                 enc = codec.encode_tiff_u16(
-                    px,
-                    compression="lzw" if c % 2 else "deflate",
-                    tile=16 if c % 4 == 1 else None,
-                    bigtiff=c % 8 == 3,
+                    px, compression=comp, tile=tile, bigtiff=big
                 )
             elif f == "lossy-q12":
                 enc = codec.encode_lossy_q12(px)

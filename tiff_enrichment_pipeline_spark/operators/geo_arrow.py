@@ -21,6 +21,7 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 from tiff_enrichment_pipeline_spark.geotables import DEM_N, DEM_STEP, DEM_TILE_DEG
 from tiff_enrichment_pipeline_spark.operators.knn_join import (
     _chord2_to_m,
+    _indexed_payload_df,
     _safe_idx,
     build_cell_candidates,
     topk_bucketed_np,
@@ -44,6 +45,8 @@ def fused_station_dem_lookup(
     results are exact for ANY setting; they only trade candidate-set size
     against fallback frequency."""
     st_rows = stations.collect()
+    # id-ascending layout → kernel argmin fast path (see knn_join.py)
+    st_rows.sort(key=lambda r: r["station_id"])
     s_lat = np.array([r["st_lat"] for r in st_rows], dtype=np.float64)
     s_lon = np.array([r["st_lon"] for r in st_rows], dtype=np.float64)
     s_ids = np.array([r["station_id"] for r in st_rows], dtype=np.int64)
@@ -118,10 +121,7 @@ def fused_station_dem_lookup(
         return pd.DataFrame({"st_idx": st_idx, "d2": d2_out, "elevation": elev})
 
     spark = images.sparkSession
-    st_indexed = spark.createDataFrame(
-        [tuple([i, *r]) for i, r in enumerate(st_rows)],
-        schema=("_st_idx int, " + ", ".join(f"{c} {t}" for c, t in stations.dtypes)),
-    )
+    st_indexed = _indexed_payload_df(spark, stations, st_rows)
     dem_meta = dem_tiles.select(
         "tile_x", "tile_y",
         F.col("source").alias("elevation_source"),

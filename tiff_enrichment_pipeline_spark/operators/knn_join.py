@@ -43,6 +43,12 @@ from tiff_enrichment_pipeline_spark import grid
 M_PER_DEG = 2.0 * 3.141592653589793 * 6371000.0 / 360.0
 EARTH_R = 6371000.0  # reference: core/validation.py:88
 
+#: fp32-prefilter exclusion margin (see _fallback_f32): worst-case
+#: |fp32−fp64| of 2−2·dot3 on unit vectors is < 2e-6; 1e-4 is a 50×
+#: safety factor, still excluding everything not within ~10 m-equivalent
+#: chord² of the k-th best.
+_F32_MARGIN = np.float32(1e-4)
+
 
 def _xyz(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
     """Unit-sphere coordinates of a (lat, lon) point."""
@@ -113,6 +119,15 @@ def topk_bucketed_np(
     workers bandwidth-scalable); rows whose k-th candidate cannot be
     certified closer than the ring boundary rescan all stations, exactly.
     Ordering ties break on station id (matches the SQL oracle).
+
+    Selection is POOLED across cells (r7): the per-cell BLAS GEMMs are
+    unchanged (so every d2 is bit-identical to the per-cell formulation
+    and the ordering the oracle checks can't move), but their results land
+    in one inf-padded ``(batch, max_cand)`` buffer and a single
+    argpartition + lexsort ranks the whole batch. The per-cell version
+    spent 47% of kernel time in ~100 tiny argpartition calls per 10k
+    batch (cProfile, sf0.1 shapes); pooling is ~2× end-to-end and
+    per-batch cost no longer depends on how many cells a batch spans.
     """
     import math
 
@@ -150,37 +165,106 @@ def topk_bucketed_np(
     guard_c2 = (2.0 * np.sin(g_half)) ** 2
 
     kk = min(k, S_xyz.shape[0])
+    # id-ascending station layout ⇒ np.argmin's first-occurrence tie rule
+    # IS the (d2, station_id) lexicographic order the oracle uses, so
+    # selection can be kk masked argmin passes (one vectorized min-reduce
+    # each) instead of argpartition+lexsort — argpartition was 47% of
+    # kernel time (r7 cProfile). _knn_arrow_idx and the fused lookup sort
+    # their collected stations to hit this path; unsorted callers get the
+    # original lexsort path, value-identical either way.
+    ids_ascending = bool(np.all(s_ids[:-1] <= s_ids[1:]))
+    S32 = S_xyz.T.astype(np.float32) if ids_ascending else None
+
+    def _argmin_topk(d2: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        """(columns, d2) of the kk smallest per row, ascending (d2, col).
+        Mutates d2 (selected entries → +inf)."""
+        bn = d2.shape[0]
+        ar = np.arange(bn)
+        sel = np.empty((bn, kk), dtype=np.int64)
+        seld = np.empty((bn, kk))
+        for j in range(kk):
+            jj = np.argmin(d2, axis=1)
+            sel[:, j] = jj
+            seld[:, j] = d2[ar, jj]
+            if j + 1 < kk:
+                d2[ar, jj] = np.inf
+        return sel, seld
+
+    def _fallback_f32(rows: "np.ndarray") -> None:
+        """Full-table scan via fp32 prefilter + fp64 recheck — EXACT.
+
+        The fp32 GEMM halves the dominant memory traffic of the
+        all-stations pass (world-region probes: ~half of kernel time at
+        sf0.1 shapes). Exactness: a station is excluded only if its fp32
+        d2 exceeds the fp32 k-th best by _F32_MARGIN, and the worst-case
+        |fp32−fp64| error of 2−2·dot3 on unit vectors is < 2e-6 ≪ the
+        1e-4 margin, so every possible fp64 top-k member survives the
+        prefilter; survivors are re-ranked in fp64. Rows where the margin
+        test can't certify (≥ mm near-ties — pathological co-located
+        stations) rerun the plain fp64 path."""
+        width = S_xyz.shape[0]
+        d2f = np.float32(2.0) - np.float32(2.0) * (
+            P[rows].astype(np.float32) @ S32
+        )
+        mm = min(kk + 8, width)
+        part = np.argpartition(d2f, mm - 1, axis=1)[:, :mm]
+        pd2f = np.take_along_axis(d2f, part, axis=1)
+        kth32 = np.partition(pd2f, kk - 1, axis=1)[:, kk - 1]
+        risky = (
+            np.count_nonzero(
+                d2f <= (kth32 + _F32_MARGIN)[:, None], axis=1
+            )
+            > mm
+        )
+        part.sort(axis=1)  # ascending column == ascending station id
+        d2e = 2.0 - 2.0 * np.einsum("rd,rmd->rm", P[rows], S_xyz[part])
+        ar = np.arange(len(rows))
+        for j in range(kk):
+            jj = np.argmin(d2e, axis=1)
+            out_idx[rows, j] = part[ar, jj].astype(np.float64)
+            out_d2[rows, j] = np.maximum(d2e[ar, jj], 0.0)
+            if j + 1 < kk:
+                d2e[ar, jj] = np.inf
+        if risky.any():
+            assign(rows[risky], None)
 
     def assign(rows: "np.ndarray", cand: "np.ndarray | None") -> "np.ndarray":
         """top-k for rows against cand (None = all); returns certified mask."""
         Sc = S_xyz if cand is None else S_xyz[cand]
         ids = s_ids if cand is None else s_ids[cand]
         d2 = 2.0 - 2.0 * (P[rows] @ Sc.T)
-        if kk < d2.shape[1]:
+        if ids_ascending:
+            # cand arrays are built in station order (build_cell_candidates
+            # appends ascending si), so columns are id-ascending too
+            sel, seld = _argmin_topk(d2)
+            sd2 = np.maximum(seld, 0.0)
+        elif kk < d2.shape[1]:
             part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            pd2 = np.take_along_axis(d2, part, axis=1)
+            # ascending d2, then station id — the oracle's tie-break
+            order = np.lexsort((ids[part], pd2), axis=1)[:, :kk]
+            sel = np.take_along_axis(part, order, axis=1)
+            sd2 = np.maximum(np.take_along_axis(pd2, order, axis=1), 0.0)
         else:
-            part = np.broadcast_to(
-                np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
-            ).copy()
-        pd2 = np.take_along_axis(d2, part, axis=1)
-        # ascending d2, then station id — the oracle's tie-break
-        order = np.lexsort(
-            (ids[part], pd2), axis=1
-        )[:, :kk]
-        sel = np.take_along_axis(part, order, axis=1)
-        sd2 = np.maximum(np.take_along_axis(d2, sel, axis=1), 0.0)
+            order = np.lexsort(
+                (np.broadcast_to(ids, d2.shape), d2), axis=1
+            )[:, :kk]
+            sel = order
+            sd2 = np.maximum(np.take_along_axis(d2, order, axis=1), 0.0)
         gi = sel if cand is None else cand[sel]
         out_idx[rows] = gi.astype(np.float64)
         out_d2[rows] = sd2
         if cand is None:
             return np.ones(len(rows), dtype=bool)
-        return (pd2.shape[1] >= kk) & (sd2[:, kk - 1] <= guard_c2[rows])
+        return (d2.shape[1] >= kk) & (sd2[:, kk - 1] <= guard_c2[rows])
 
     order = np.argsort(key, kind="stable")
     sk = key[order]
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
     bounds = np.r_[starts, len(sk)]
     fallback: list[np.ndarray] = []
+    seg_rows: list[np.ndarray] = []
+    seg_cand: list[np.ndarray] = []
     for gi in range(len(starts)):
         if sk[starts[gi]] == -1:
             continue
@@ -189,12 +273,53 @@ def topk_bucketed_np(
         if cand is None or len(cand) < kk:
             fallback.append(rows)
             continue
-        cert = assign(rows, cand)
+        seg_rows.append(rows)
+        seg_cand.append(cand)
+    if seg_rows:
+        mb = max(len(c) for c in seg_cand)
+        bn = sum(len(r) for r in seg_rows)
+        rix = np.concatenate(seg_rows)
+        d2buf = np.empty((bn, mb))
+        gidx = np.empty(bn, dtype=np.int64)
+        gc = np.zeros((len(seg_cand), mb), dtype=np.int64)
+        pos = 0
+        for g, (rows, cand) in enumerate(zip(seg_rows, seg_cand)):
+            cw = len(cand)
+            # identical float ops to the per-cell formulation: BLAS
+            # (rows,3)@(3,cw) on the un-padded candidate slice
+            d2buf[pos:pos + len(rows), :cw] = (
+                2.0 - 2.0 * (P[rows] @ S_xyz[cand].T)
+            )
+            d2buf[pos:pos + len(rows), cw:] = np.inf
+            gc[g, :cw] = cand
+            gidx[pos:pos + len(rows)] = g
+            pos += len(rows)
+        if ids_ascending:
+            sel, seld = _argmin_topk(d2buf)
+            sd2 = np.maximum(seld, 0.0)
+            out_idx[rix] = gc[gidx[:, None], sel].astype(np.float64)
+        else:
+            if kk < mb:
+                part = np.argpartition(d2buf, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(mb), (bn, mb)).copy()
+            pd2 = np.take_along_axis(d2buf, part, axis=1)
+            pci = gc[gidx[:, None], part]  # (bn, kk) global candidate idx
+            o2 = np.lexsort((s_ids[pci], pd2), axis=1)[:, :kk]
+            sd2 = np.maximum(np.take_along_axis(pd2, o2, axis=1), 0.0)
+            out_idx[rix] = np.take_along_axis(pci, o2, axis=1).astype(
+                np.float64
+            )
+        out_d2[rix] = sd2
+        cert = sd2[:, kk - 1] <= guard_c2[rix]
         if not cert.all():
-            fallback.append(rows[~cert])
+            fallback.append(rix[~cert])
     if fallback:
         fb = np.concatenate(fallback)
-        assign(fb, None)
+        if ids_ascending and S_xyz.shape[0] > 4 * kk + 16:
+            _fallback_f32(fb)
+        else:
+            assign(fb, None)
     return out_idx, out_d2
 
 
@@ -295,6 +420,10 @@ def _knn_arrow_idx(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     st_rows = stations.collect()  # dim-table collect == broadcast data motion
+    # id-ascending layout unlocks the kernel's argmin fast path (tie rule
+    # == first occurrence == smallest id); st_indexed enumerates the same
+    # sorted list so _st_idx stays consistent
+    st_rows.sort(key=lambda r: r["station_id"])
     s_lat = np.array([r["st_lat"] for r in st_rows], dtype=np.float64)
     s_lon = np.array([r["st_lon"] for r in st_rows], dtype=np.float64)
     s_ids = np.array([r["station_id"] for r in st_rows], dtype=np.int64)
@@ -336,12 +465,27 @@ def _knn_arrow_idx(
         return pd.DataFrame(cols)
 
     spark = images.sparkSession
-    st_indexed = spark.createDataFrame(
-        [tuple([i, *r]) for i, r in enumerate(st_rows)],
-        schema=("_st_idx int, " + ", ".join(f"{c} {t}" for c, t in stations.dtypes)),
-    )
+    st_indexed = _indexed_payload_df(spark, stations, st_rows)
     with_idx = images.withColumn("_knn_i", _topk_idx(F.col(lat), F.col(lon)))
     return with_idx, st_indexed, kk
+
+
+def _indexed_payload_df(spark, stations: DataFrame, st_rows) -> DataFrame:
+    """``(_st_idx, station cols…)`` broadcast payload table from already-
+    collected rows. Built via a pandas DataFrame so createDataFrame takes
+    the Arrow path — the row-tuple path re-serializes every row through
+    the Python RDD pickler and measured 0.47-0.72 s per query at 1000
+    stations vs 0.16-0.23 s via Arrow (r7 kNN-core attribution); at dim
+    scale the payload is broadcast either way."""
+    pdf = pd.DataFrame([tuple(r) for r in st_rows], columns=stations.columns)
+    pdf.insert(0, "_st_idx", np.arange(len(pdf), dtype=np.int32))
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "_st_idx int, "
+            + ", ".join(f"{c} {t}" for c, t in stations.dtypes)
+        ),
+    )
 
 
 def knn_nearest(

@@ -3432,9 +3432,10 @@ _DRIVER_PRIORITY = [
     # train_split rotated out (stratified_sample keeps the family) for
     # pivot_status's fresh vintage (VERDICT r6 #8)
     "pivot_status", "stratified_sample", "incremental_dedup",
-    # streaming equivalence; r7: session/join alternate per VERDICT r4 —
-    # streaming_session back in, streaming_join out (fresh vintage)
-    "streaming_hourly", "streaming_session",
+    # streaming equivalence; r7: streaming_session back in for a fresh
+    # vintage, streaming_hourly out (session keeps the streaming_window
+    # family; streaming_join is a singleton family so it stays)
+    "streaming_join", "streaming_session",
     "streaming_upsert_eq",
     # raster lifecycle — every prefix entry now VALUE-checked (r6):
     # capture_pipeline_rel is the NDVI/veg/packing slice of the capture
@@ -3457,9 +3458,9 @@ _DEMOTED = [
     "resume_antijoin", "quality_score",
     # rotated out round 7 to make room (each family stays in-cap:
     # zorder_encode = write-clustering, stratified_sample = sampling,
-    # streaming_hourly+session+upsert = streaming; all three rotated-out
+    # streaming_session = streaming_window; all three rotated-out
     # names were driver-green r5 AND r6)
-    "hilbert_encode", "train_split", "streaming_join",
+    "hilbert_encode", "train_split", "streaming_hourly",
     # rows-only variant superseded in-cap by multimodal_features_rel (r5);
     # resize/edge-energy pixel kernels stay pytest-pinned
     "multimodal_features",

@@ -744,7 +744,26 @@ def _pillow_gray_u16(payload: bytes, fmt: str, hint: str) -> np.ndarray:
 
 def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one band payload → uint16 (h, w). Vector-friendly: call per
-    row *inside* an Arrow batch, never as a row-at-a-time Python UDF."""
+    row *inside* an Arrow batch, never as a row-at-a-time Python UDF.
+
+    Error contract (pinned by tests/test_codec_fuzz.py): a damaged
+    stream raises ValueError, a valid-but-gated profile raises
+    NotImplementedError — nothing else escapes. The spec parsers
+    naturally hit struct.error / zlib.error / IndexError on corrupt
+    input (r7 fuzz: 185/200 mutated PNGs leaked struct.error); those are
+    normalized here so quarantine routing (and any non-decode_status
+    caller) can rely on the two documented types."""
+    try:
+        return _decode_any(payload, w, h, fmt)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"corrupt {fmt} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in ("raw-u16", "lossy-q12"):
         return decode_raw_u16(payload, w, h)
     if fmt == "png":
