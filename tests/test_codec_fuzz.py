@@ -85,6 +85,11 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
             "tiff",
             codec.encode_tiff_u16(px, bigtiff=True),
         ),
+        (
+            "tiff-rgb",
+            "tiff-rgb",
+            codec.encode_tiff_rgb(np.stack([px, px, px], axis=-1)),
+        ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
             "jpeg-prog",

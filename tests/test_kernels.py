@@ -796,3 +796,56 @@ def test_jpeg_sampling_factor_4():
     enc[j + 14] = 0x21
     with pytest.raises(NotImplementedError, match="non-integer"):
         jpeg.decode_jpeg_gray(bytes(enc))
+
+def test_tiff_rgb_roundtrips_and_luma():
+    """r7 RGB TIFF (the reference's `regular_tiff` bucket, main.py:50-108):
+    chunky-interleaved RGB roundtrips bit-exact across the full container
+    matrix (8/16-bit x none/deflate/lzw x strips/tiles x classic/BigTIFF,
+    with geo tags), the fmt='tiff-rgb' decode path yields the exact
+    integer BT.601 luma, and planar RGB (PlanarConfiguration 2) keeps
+    raising NotImplementedError so quarantine routes it 'unsupported'."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    rng = np.random.default_rng(17)
+    geo = {"pixel_scale": (0.001, 0.001), "origin": (5.0, 52.0),
+           "epsg": 4326}
+    for dt, hi in ((np.uint8, 256), (np.uint16, 65536)):
+        img = rng.integers(0, hi, (61, 83, 3)).astype(dt)
+        for comp in ("none", "deflate", "lzw"):
+            for tile in (None, 16):
+                for big in (False, True):
+                    enc = codec.encode_tiff_rgb(
+                        img, compression=comp, tile=tile, bigtiff=big,
+                        geo=geo,
+                    )
+                    arr, meta = codec.decode_geotiff(enc)
+                    assert arr.shape == (61, 83, 3), (dt, comp, tile, big)
+                    assert np.array_equal(
+                        arr, img.astype(np.uint16)
+                    ), (dt, comp, tile, big)
+                    assert meta["epsg"] == 4326
+                    # gray band contract rejects RGB with the routable type
+                    with pytest.raises(NotImplementedError):
+                        codec.decode_tiff_u16(enc)
+
+    # luma contract: exact integer BT.601
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    enc = codec.encode_tiff_rgb(img)
+    a = img.astype(np.uint32)
+    want = ((299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000)
+    got = codec.decode(enc, 32, 32, "tiff-rgb")
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, want.astype(np.uint16))
+
+    # planar RGB (PlanarConfiguration 2) must stay gated: patch tag 284
+    enc_pl = bytearray(codec.encode_tiff_rgb(img, compression="none"))
+    # find the 284 IFD entry (classic little-endian: tag at entry start)
+    pat = (284).to_bytes(2, "little") + (3).to_bytes(2, "little")
+    i = enc_pl.rfind(pat)
+    assert i != -1
+    enc_pl[i + 8 : i + 10] = (2).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        codec.decode_geotiff(bytes(enc_pl))
+    # and the quarantine-facing dispatch classifies it 'unsupported'-wise
+    with pytest.raises(NotImplementedError):
+        codec.decode(bytes(enc_pl), 32, 32, "tiff-rgb")

@@ -302,6 +302,12 @@ def band_rows_from_orders(
                 enc = codec.encode_tiff_u16(
                     px, compression=comp, tile=tile, bigtiff=big
                 )
+            elif f == "tiff-rgb":
+                # r7: the reference's `regular_tiff` bucket (ordinary RGB
+                # TIFF, main.py:50-108) as gray-in-RGB — R=G=B=v, so the
+                # BT.601 integer luma the decode path emits is exactly v
+                # and every pixel-value oracle is untouched
+                enc = codec.encode_tiff_rgb(np.stack([px, px, px], axis=-1))
             elif f == "lossy-q12":
                 enc = codec.encode_lossy_q12(px)
             elif f == "png":
@@ -321,6 +327,11 @@ def band_rows_from_orders(
     fmt = (
         F.when((F.col("capture_no") * 5 + F.col("band")) % 11 == 3, "lossy-q12")
         .when((F.col("capture_no") * 5 + F.col("band")) % 11 == 7, "png")
+        .when(
+            ((F.col("capture_no") * 5 + F.col("band")) % 11 == 5)
+            & (F.col("capture_no") % 2 == 1),
+            "tiff-rgb",  # r7: RGB container on odd captures (gray-in-RGB)
+        )
         .when((F.col("capture_no") * 5 + F.col("band")) % 11 == 5, "tiff")
         .otherwise("raw-u16")
     )

@@ -2897,6 +2897,8 @@ def q_decode_quarantine_sql() -> str:
     SELECT image_id,
            CASE WHEN (capture_no*5 + band) % 11 = 3 THEN 'lossy-q12'
                 WHEN (capture_no*5 + band) % 11 = 7 THEN 'png'
+                WHEN (capture_no*5 + band) % 11 = 5 AND capture_no % 2 = 1
+                     THEN 'tiff-rgb'
                 WHEN (capture_no*5 + band) % 11 = 5 THEN 'tiff'
                 ELSE 'raw-u16' END AS fmt,
            CASE WHEN capture_no % 7 = 3 THEN 'corrupt' ELSE 'ok' END AS status

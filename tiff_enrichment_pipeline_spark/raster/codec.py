@@ -354,8 +354,76 @@ def encode_tiff_u16(
     ``bigtiff=True`` (the 8-byte-offset BigTIFF container, magic 43)."""
     if band.ndim != 2:
         raise ValueError("band must be 2-D")
-    arr = band.astype(np.uint16)
-    h, w = arr.shape
+    return _encode_tiff_int(
+        band.astype(np.uint16)[:, :, None],
+        bits=16,
+        photometric=1,
+        compression=compression,
+        rows_per_strip=rows_per_strip,
+        predictor=predictor,
+        geo=geo,
+        level=level,
+        tile=tile,
+        bigtiff=bigtiff,
+    )
+
+
+def encode_tiff_rgb(
+    img: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    predictor: int = 2,
+    geo: dict | None = None,
+    level: int = 6,
+    tile: int | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """Chunky-interleaved RGB TIFF (r7): ``img`` is (h, w, 3) uint8 or
+    uint16 (BitsPerSample follows the dtype). Same container matrix as
+    the grayscale encoder — strips/tiles, none/deflate/LZW, classic/
+    BigTIFF, optional GeoTIFF tags; PlanarConfiguration 1 always (the
+    profile the reference's `regular_tiff` bucket carries,
+    main.py:50-108)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("img must be (h, w, 3)")
+    if img.dtype == np.uint8:
+        bits = 8
+    elif img.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError(f"RGB dtype must be uint8/uint16, got {img.dtype}")
+    return _encode_tiff_int(
+        img,
+        bits=bits,
+        photometric=2,
+        compression=compression,
+        rows_per_strip=rows_per_strip,
+        predictor=predictor,
+        geo=geo,
+        level=level,
+        tile=tile,
+        bigtiff=bigtiff,
+    )
+
+
+def _encode_tiff_int(
+    arr: np.ndarray,
+    *,
+    bits: int,
+    photometric: int,
+    compression: str,
+    rows_per_strip: int,
+    predictor: int,
+    geo: dict | None,
+    level: int,
+    tile: int | None,
+    bigtiff: bool,
+) -> bytes:
+    """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp), spp
+    channels chunky-interleaved in the file."""
+    h, w, spp = arr.shape
+    sample_dt = "<u2" if bits == 16 else "u1"
     if compression == "none":
         comp_tag, predictor = 1, 1
     elif compression == "deflate":
@@ -369,9 +437,11 @@ def encode_tiff_u16(
     def _pack(s: np.ndarray) -> bytes:
         if predictor == 2:
             d = s.copy()
-            d[:, 1:] = s[:, 1:] - s[:, :-1]  # uint16 wraparound is the spec
+            # per-component horizontal differencing (TIFF6 §14); sample
+            # wraparound at the bit depth is the spec
+            d[:, 1:] = s[:, 1:] - s[:, :-1]
             s = d
-        raw = np.ascontiguousarray(s.astype("<u2")).tobytes()
+        raw = np.ascontiguousarray(s.astype(sample_dt)).tobytes()
         if comp_tag == 8:
             return zlib.compress(raw, level)
         if comp_tag == 5:
@@ -398,7 +468,11 @@ def encode_tiff_u16(
                 chunks.append(
                     np.pad(
                         t,
-                        ((0, tile - t.shape[0]), (0, tile - t.shape[1])),
+                        (
+                            (0, tile - t.shape[0]),
+                            (0, tile - t.shape[1]),
+                            (0, 0),
+                        ),
                         mode="edge",
                     )
                 )
@@ -413,12 +487,14 @@ def encode_tiff_u16(
     tags: list[tuple[int, int, list]] = [
         (256, _T_LONG, [w]),
         (257, _T_LONG, [h]),
-        (258, _T_SHORT, [16]),
+        (258, _T_SHORT, [bits] * spp),
         (259, _T_SHORT, [comp_tag]),
-        (262, _T_SHORT, [1]),  # BlackIsZero
-        (277, _T_SHORT, [1]),
-        (339, _T_SHORT, [1]),  # unsigned integer samples
+        (262, _T_SHORT, [photometric]),  # 1=BlackIsZero, 2=RGB
+        (277, _T_SHORT, [spp]),
+        (339, _T_SHORT, [1] * spp),  # unsigned integer samples
     ]
+    if spp > 1:
+        tags.append((284, _T_SHORT, [1]))  # chunky interleaved
     if tile is None:
         tags += [
             (273, _T_LONG, offsets),
@@ -476,10 +552,11 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
 
     Handles both byte orders, strip AND tiled layout, classic and
     BigTIFF containers, Compression 1/5 (LZW)/8 (Deflate), Predictor
-    1/2, bit depth 8/16, single-plane grayscale. Raises
-    NotImplementedError on variants outside that profile (JPEG-in-TIFF,
-    multi-sample/RGB, float samples) so ``decode`` can route those to
-    the optional-Pillow fallback. Geo metadata (when the GeoTIFF
+    1/2, bit depth 8/16 grayscale AND (r7) chunky-interleaved RGB
+    (SamplesPerPixel 3, PlanarConfiguration 1 — returns (h, w, 3)).
+    Raises NotImplementedError on variants outside that profile
+    (JPEG-in-TIFF, planar RGB, CMYK/extra samples) so ``decode`` can
+    route those to the optional-Pillow fallback. Geo metadata (when the GeoTIFF
     tags are present): ``pixel_scale``, ``tiepoint``, ``origin``,
     ``epsg``, ``model_type``, ``raster_type``."""
     if payload[:2] == b"II":
@@ -541,16 +618,34 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         raise NotImplementedError(
             "TIFF missing baseline tags the stdlib path requires"
         ) from exc
-    bits = tags.get(258, [1])[0]
+    bits_v = tags.get(258, [1])
+    bits = bits_v[0]
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0] or h
     pred = tags.get(317, [1])[0]
     sfmt = tags.get(339, [1])[0]
+    planar = tags.get(284, [1])[0]
     is_float = sfmt == 3
-    if spp != 1 or (sfmt, bits) not in ((1, 8), (1, 16), (3, 32)):
+    if spp == 3:
+        # RGB (r7 — the reference's `regular_tiff` bucket, main.py:50-108
+        # classifies ordinary RGB TIFFs): chunky interleaved only;
+        # PlanarConfiguration 2 (separate planes) stays gated → the
+        # quarantine routes it 'unsupported'
+        if planar != 1:
+            raise NotImplementedError(
+                "TIFF PlanarConfiguration 2 (planar RGB) not supported"
+            )
+        if sfmt != 1 or bits not in (8, 16) or any(
+            b != bits for b in bits_v
+        ):
+            raise NotImplementedError(
+                f"RGB TIFF outside uniform 8/16-bit unsigned "
+                f"(bits={bits_v}, fmt={sfmt})"
+            )
+    elif spp != 1 or (sfmt, bits) not in ((1, 8), (1, 16), (3, 32)):
         raise NotImplementedError(
-            f"TIFF profile outside baseline grayscale/float-DEM "
+            f"TIFF profile outside baseline grayscale/RGB/float-DEM "
             f"(spp={spp}, bits={bits}, fmt={sfmt})"
         )
     if comp not in (1, 5, 8):
@@ -573,21 +668,24 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         elif comp == 5:
             raw = _lzw_decode(raw)
         s = (
-            np.frombuffer(raw[: nrows * ncols * nbytes], dtype=dt)
-            .reshape(nrows, ncols)
+            np.frombuffer(raw[: nrows * ncols * spp * nbytes], dtype=dt)
+            .reshape(nrows, ncols, spp)
             .astype(out_dt)
         )
         if pred == 2:
+            # horizontal differencing is PER COMPONENT (TIFF6 §14):
+            # cumsum along x with channels separated
             s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(
                 np.uint16
             )
-        return s
+        return s if spp > 1 else s[:, :, 0]
 
     if tiled:
         # tiles are stored full tw×tl (edge tiles padded, TIFF6 §15) in
         # row-major tile order; assemble then crop
         tiles_across = -(-w // tw)
-        arr = np.zeros((-(-h // tl) * tl, tiles_across * tw), out_dt)
+        shape = (-(-h // tl) * tl, tiles_across * tw)
+        arr = np.zeros(shape + ((spp,) if spp > 1 else ()), out_dt)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = divmod(idx, tiles_across)
             arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = _chunk(
@@ -630,7 +728,31 @@ def decode_tiff_u16(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "float-sample TIFF is not a band payload; use decode_geotiff"
         )
+    if arr.ndim != 2:
+        # RGB decodes fine (decode_geotiff) but is not a single gray
+        # band; fmt 'tiff-rgb' carries the luma contract
+        raise NotImplementedError(
+            "multi-sample TIFF is not a gray band payload; use fmt "
+            "'tiff-rgb' (BT.601 integer luma) or decode_geotiff"
+        )
     return arr
+
+
+def decode_tiff_rgb_luma(payload: bytes) -> np.ndarray:
+    """RGB TIFF → uint16 luma plane via EXACT integer BT.601:
+    ``(299·R + 587·G + 114·B) // 1000``. Integer-exact (hence
+    SQL-twin-able in DuckDB) and monotone in each channel; 16-bit RGB
+    keeps full precision because the weighted sum fits u32."""
+    arr = decode_geotiff(payload)[0]
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint16:
+        raise ValueError(
+            f"tiff-rgb payload is not 3-sample integer RGB "
+            f"(shape {arr.shape}, dtype {arr.dtype})"
+        )
+    a = arr.astype(np.uint32)
+    return (
+        (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    ).astype(np.uint16)
 
 
 def encode_tiff_f32(
@@ -803,6 +925,16 @@ def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                 f"jpeg dimensions {arr.shape} != metadata ({h}, {w})"
             )
         return arr
+    if fmt == "tiff-rgb":
+        # RGB container (r7, the reference's `regular_tiff` bucket): the
+        # engine's band contract is one u16 plane, so RGB reduces via
+        # EXACT integer BT.601 luma — deterministic and SQL-twin-able
+        arr = decode_tiff_rgb_luma(payload)
+        if arr.shape != (h, w):
+            raise ValueError(
+                f"tiff-rgb dimensions {arr.shape} != metadata ({h}, {w})"
+            )
+        return arr
     if fmt == "tiff":
         try:
             arr = decode_tiff_u16(payload)  # stdlib profile (r6: incl.
@@ -824,7 +956,10 @@ def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt in ("raw-u16", "png", "tiff")
+    # tiff-rgb: the container is lossless and the engine's gray-in-RGB
+    # fixture profile (R=G=B=v) makes the BT.601 luma reduction exact
+    # (299+587+114 = 1000 ⇒ luma(v,v,v) = v)
+    return fmt in ("raw-u16", "png", "tiff", "tiff-rgb")
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray, peak: float = PEAK_U16) -> float:
