@@ -939,6 +939,136 @@ def run_dedup_profile() -> None:
     spark.stop()
 
 
+
+def run_ann_scale() -> None:
+    """Scaled ANN evidence (VERDICT r6 #6, mirroring --dedup-scale): a
+    synthetic clustered corpus of $SPARK_GRAFT_ANN_N vectors (default
+    10M, dim 64, 64 latent clusters), IVF index write (parquet
+    partitioned by list), partition-pruned Arrow-GEMM probe at
+    nprobe=4/8, and the distributed exact brute force as ground truth —
+    recall@10, wall time per stage and the PartitionFilters line land in
+    the JSON + BENCH.md. Every stage is the package's production path
+    (write_ivf_index / ivf_probe_pruned_arrow / brute_force_topk_arrow);
+    nothing is special-cased for the bench."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.operators.ann import (
+        brute_force_topk_arrow,
+        ivf_probe_pruned_arrow,
+        write_ivf_index,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_ANN_N", "10000000"))
+    dim, n_clusters, n_lists, k = 64, 64, 64, 10
+    n_queries = int(os.environ.get("SPARK_GRAFT_ANN_Q", "512"))
+    spark = build_session(CPUS)
+    work = tempfile.mkdtemp(prefix="ann_scale_")
+    rec = {"metric": "ann_scaled", "n_vectors": n, "dim": dim,
+           "n_lists": n_lists, "k": k, "n_queries": n_queries,
+           "load_start": _load1()}
+    try:
+        # clustered synthesis: center(id % n_clusters) + noise, unit-ish
+        # scale; per-batch rng seeded by the first id (determinism across
+        # RUNS is irrelevant — every stage below reads the WRITTEN file)
+        cents0 = np.random.default_rng(7).normal(size=(n_clusters, dim))
+        cents0 /= np.linalg.norm(cents0, axis=1)[:, None]
+        bc = spark.sparkContext.broadcast(cents0)
+
+        def _synth(it):
+            C = bc.value
+            for pdf in it:
+                ids = pdf["id"].to_numpy(np.int64)
+                rng = np.random.default_rng(int(ids[0]) + 1)
+                v = C[ids % n_clusters] + 0.35 * rng.normal(
+                    size=(len(ids), dim)
+                )
+                yield pd.DataFrame(
+                    {"vec_id": ids, "embedding": list(v)}
+                )
+
+        t0 = time.time()
+        corpus = (
+            spark.range(n)
+            .repartition(int(CPUS) * 2)
+            .mapInPandas(_synth, "vec_id long, embedding array<double>")
+        )
+        corpus.write.mode("overwrite").parquet(f"{work}/corpus")
+        rec["synth_write_sec"] = round(time.time() - t0, 3)
+        corpus = spark.read.parquet(f"{work}/corpus")
+
+        t0 = time.time()
+        write_ivf_index(corpus, f"{work}/ivf", n_lists=n_lists,
+                        sample_n=16384)
+        rec["index_build_sec"] = round(time.time() - t0, 3)
+
+        stride = max(1, n // n_queries)
+        queries = corpus.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * n_queries)
+        ).localCheckpoint()
+        rec["n_queries"] = queries.count()
+
+        t0 = time.time()
+        exact = brute_force_topk_arrow(queries, corpus, k=k)
+        truth = {}
+        for r in exact.collect():
+            truth.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        rec["exact_arrow_sec"] = round(time.time() - t0, 3)
+
+        for nprobe in (4, 8, 16):
+            t0 = time.time()
+            out = ivf_probe_pruned_arrow(
+                queries, f"{work}/ivf", k=k, nprobe=nprobe
+            )
+            got = {}
+            for r in out.collect():
+                got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+            dt = time.time() - t0
+            hits = sum(
+                len(truth[q] & got.get(q, set())) for q in truth
+            )
+            rec[f"probe{nprobe}_sec"] = round(dt, 3)
+            rec[f"recall_at_{k}_nprobe{nprobe}"] = round(
+                hits / (len(truth) * k), 4
+            )
+            if nprobe == 4:
+                plan = out._jdf.queryExecution().executedPlan().toString()
+                pf = [
+                    l.strip() for l in plan.splitlines()
+                    if "PartitionFilters" in l
+                ]
+                rec["partition_filters"] = pf[0][:220] if pf else None
+        rec["load_end"] = _load1()
+        print(json.dumps(rec))
+        with open(REPO / "BENCH.md", "a") as f:
+            f.write(
+                f"\n## Scaled ANN arm ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
+                f"{n} vectors x dim {dim}, {n_lists} lists, local[{CPUS}])\n\n"
+                f"| stage | wall sec |\n|---|---|\n"
+                f"| synth+write corpus | {rec['synth_write_sec']} |\n"
+                f"| IVF index build (train+assign+partitioned write) "
+                f"| {rec['index_build_sec']} |\n"
+                f"| exact brute force ({rec['n_queries']} queries, Arrow GEMM) "
+                f"| {rec['exact_arrow_sec']} |\n"
+                f"| pruned probe nprobe=4 | {rec['probe4_sec']} |\n"
+                f"| pruned probe nprobe=8 | {rec['probe8_sec']} |\n"
+                f"| pruned probe nprobe=16 | {rec['probe16_sec']} |\n\n"
+                f"recall@{k}: nprobe=4 {rec[f'recall_at_{k}_nprobe4']}, "
+                f"nprobe=8 {rec[f'recall_at_{k}_nprobe8']}, "
+                f"nprobe=16 {rec[f'recall_at_{k}_nprobe16']}; "
+                f"PartitionFilters on the probe scan: "
+                f"`{rec['partition_filters']}`\n"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
@@ -961,5 +1091,7 @@ if __name__ == "__main__":
         run_dedup_scale()
     elif "--dedup-profile" in sys.argv:
         run_dedup_profile()
+    elif "--ann-scale" in sys.argv:
+        run_ann_scale()
     else:
         run_default()

@@ -220,7 +220,13 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     idx = np.linspace(0, len(X) - 1, k).astype(int)
     C = X[idx].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², and ‖x‖² is constant per row —
+        # assignment needs only (‖c‖² − 2X·Cᵀ). The elementwise
+        # (X[:,None,:]−C)² formulation materialized an n×k×d cube
+        # (16384×64×64 f64 = 0.5 GB per iteration; 13 s of the r7
+        # --ann-scale index build was this loop); the GEMM form is
+        # O(n×k) memory and BLAS-fast, same deterministic argmin.
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d2.argmin(axis=1)
         for j in range(k):
             members = X[assign == j]
@@ -466,6 +472,12 @@ def write_ivf_index(
             corpus, cents, id_col, vec_col, iters=refine_iters
         )
     assigned = ivf_assign_df(corpus, cents, id_col, vec_col)
+    # co-locate each list before the partitioned write: without this,
+    # every write task holds a file open per list it sees (tasks ×
+    # n_lists small files — 4096 at the r7 --ann-scale shapes, ~2.5k
+    # rows each); hashing on ivf_list first yields ~one file per list,
+    # the layout the probe-side scan wants at any scale
+    assigned = assigned.repartition(F.col("ivf_list"))
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
         f"{path}/index"
     )
@@ -546,3 +558,176 @@ def ivf_probe_pruned(
         )
     )
     return _ivf_rank(qp, corpus_a, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-GEMM ranking (r7) — the ranking path that survives 10M+ corpora
+# ---------------------------------------------------------------------------
+#
+# _ivf_rank above ranks candidate PAIRS with Catalyst higher-order
+# functions: ideal at dim-table scale (pure JVM, no Python), but the
+# interpreted zip_with costs ~µs/element, and a scaled probe (1000
+# queries × 10M-vector corpus) forms billions of pair·dim elements — the
+# r6 memory's "HOF in the hot loop" trap. The Arrow form inverts the
+# dataflow: the BOUNDED query batch (≤ a few thousand rows) broadcasts as
+# a dense matrix, the UNBOUNDED corpus streams through mapInPandas, and
+# each Arrow batch contributes one BLAS GEMM + per-query partial top-k;
+# a final k-row-per-(query,batch) shuffle merges partials. Corpus-side
+# memory is O(batch), driver memory O(|Q|·dim + |Q|·k·n_batches).
+
+
+def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded query batch → (ids, L2-normalized matrix)."""
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    nq = np.linalg.norm(Q, axis=1)
+    nq[nq == 0] = 1.0
+    return qids, Q / nq[:, None]
+
+
+def _partial_topk_emit(
+    qids: np.ndarray,
+    sub_ids: np.ndarray,
+    cos: np.ndarray,
+    k: int,
+    q_index: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Per-query partial top-k of one (queries × batch-slice) cosine
+    block → long-form (qid, cid, cosine) rows. ``cos`` is (|Q'|, n)."""
+    n = cos.shape[1]
+    kk = min(k + 1, n)  # +1: self-match dropped later
+    if kk < n:
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(n), cos.shape).copy()
+    qcol = np.repeat(
+        qids if q_index is None else qids[q_index], part.shape[1]
+    )
+    return pd.DataFrame(
+        {
+            "qid": qcol,
+            "cid": sub_ids[part].ravel(),
+            "cosine": np.take_along_axis(cos, part, axis=1).ravel(),
+        }
+    )
+
+
+def _merge_topk(partials: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k per query from per-batch partials (tie-break:
+    ascending neighbor id, the brute_force_topk convention)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        partials.filter(F.col("qid") != F.col("cid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("cid").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+_PARTIAL_SCHEMA = "qid long, cid long, cosine double"
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine top-k with the corpus distributed (the scale form of
+    ``brute_force_topk``, which broadcasts the corpus and is guarded to
+    1M rows): query matrix broadcast, one GEMM per corpus Arrow batch,
+    partial top-k per batch, global merge. Same output contract as
+    ``brute_force_topk`` (rank int, neighbor_id, cosine; self-matches
+    excluded; ties → ascending neighbor id)."""
+    qids, Qn = _query_matrix(queries, id_col, vec_col)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Qn))
+
+    def _scan(it):
+        bqids, bQ = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(M, axis=1)
+            nm[nm == 0] = 1.0
+            cos = bQ @ (M / nm[:, None]).T
+            yield _partial_topk_emit(
+                bqids, pdf[id_col].to_numpy(np.int64), cos, k
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        _scan, schema=_PARTIAL_SCHEMA
+    )
+    return _merge_topk(partials, k, id_col)
+
+
+def ivf_probe_pruned_arrow(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_probe_pruned`` with Arrow-GEMM ranking: the probe-list
+    filter still reaches the partitioned index scan as PartitionFilters
+    (only nprobe/n_lists of the data is read), but candidate ranking is
+    a GEMM restricted per Arrow batch to the queries that actually probe
+    each list (probe map broadcast with the query matrix)."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["ivf_list"])],
+        dtype=np.float64,
+    )
+    qids, Qn = _query_matrix(queries, id_col, vec_col)
+    # probe assignment for the bounded batch, driver-side: |Q| × n_lists
+    # — the EXACT float ops + tie order of _make_probes_udf, so the two
+    # probe paths choose identical list sets
+    sims = Qn @ cents.T
+    npb = min(nprobe, len(cents))
+    probe = np.argsort(-sims, axis=1)[:, :npb]
+    probed_lists = sorted({int(x) for x in probe.ravel()})
+    # list id → indices of the queries probing it
+    by_list: dict[int, np.ndarray] = {
+        li: np.flatnonzero((probe == li).any(axis=1)) for li in probed_lists
+    }
+    sc = spark.sparkContext
+    bc = sc.broadcast((qids, Qn, by_list))
+
+    def _scan(it):
+        bqids, bQ, bmap = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(M, axis=1)
+            nm[nm == 0] = 1.0
+            Mn = M / nm[:, None]
+            ids = pdf[id_col].to_numpy(np.int64)
+            lists = pdf["ivf_list"].to_numpy(np.int64)
+            for li in np.unique(lists):
+                qi = bmap.get(int(li))
+                if qi is None or not len(qi):
+                    continue
+                sel = lists == li
+                cos = bQ[qi] @ Mn[sel].T
+                yield _partial_topk_emit(bqids, ids[sel], cos, k, q_index=qi)
+
+    corpus_a = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("ivf_list").isin(probed_lists))
+        .select(id_col, vec_col, F.col("ivf_list").cast("long"))
+    )
+    partials = corpus_a.mapInPandas(_scan, schema=_PARTIAL_SCHEMA)
+    return _merge_topk(partials, k, id_col)
