@@ -83,22 +83,38 @@ def build_cell_candidates(
     s_lat: "np.ndarray", s_lon: "np.ndarray", res: int, ring: int
 ) -> dict[int, "np.ndarray"]:
     """cell id → int32 station indices within the Chebyshev ring (numpy
-    twin of stations_by_cell, used inside Arrow UDFs)."""
+    twin of stations_by_cell, used inside Arrow UDFs).
+
+    Fully vectorized (r7): the (station × ring²) cell matrix is built by
+    broadcasting and split into per-cell index arrays via one lexsort —
+    the per-station Python loop cost 0.39 s at 10k stations (it runs
+    driver-side on EVERY kNN query build). Candidate order within a cell
+    stays ascending-si (the lexsort minor key), which the kernel's
+    argmin tie rule relies on when station ids are sorted."""
     nx, ny = 2**res, 2 ** (res - 1)
     w = 360.0 / nx
     ix = np.clip(((s_lon + 180.0) / w).astype(np.int64), 0, nx - 1)
     iy = np.clip(((s_lat + 90.0) / w).astype(np.int64), 0, ny - 1)
-    out: dict[int, list[int]] = {}
     base = np.int64(res) * np.int64(2**56)
-    for si in range(len(s_lat)):
-        for dx in range(-ring, ring + 1):
-            nix = (ix[si] + dx) % nx
-            for dy in range(-ring, ring + 1):
-                niy = iy[si] + dy
-                if 0 <= niy < ny:
-                    cell = int(base + nix * np.int64(2**28) + niy)
-                    out.setdefault(cell, []).append(si)
-    return {c: np.array(v, dtype=np.int32) for c, v in out.items()}
+    d = np.arange(-ring, ring + 1, dtype=np.int64)
+    nix = (ix[:, None] + d[None, :]) % nx
+    niy = iy[:, None] + d[None, :]
+    cells = base + nix[:, :, None] * np.int64(2**28) + niy[:, None, :]
+    vmask = np.broadcast_to(((niy >= 0) & (niy < ny))[:, None, :],
+                            cells.shape)
+    si = np.broadcast_to(
+        np.arange(len(s_lat), dtype=np.int32)[:, None, None], cells.shape
+    )
+    c = cells[vmask]
+    s = si[vmask]
+    order = np.lexsort((s, c))
+    c, s = c[order], s[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    bounds = np.r_[starts, len(c)]
+    return {
+        int(c[starts[i]]): s[bounds[i]:bounds[i + 1]].copy()
+        for i in range(len(starts))
+    }
 
 
 def topk_bucketed_np(
