@@ -849,3 +849,49 @@ def test_tiff_rgb_roundtrips_and_luma():
     # and the quarantine-facing dispatch classifies it 'unsupported'-wise
     with pytest.raises(NotImplementedError):
         codec.decode(bytes(enc_pl), 32, 32, "tiff-rgb")
+
+def test_tiff_jpeg_in_tiff_roundtrips():
+    """r7 Compression 7 (new-style JPEG-in-TIFF, TIFF TechNote 2):
+    strips and tiles, shared JPEGTables (tag 347) AND self-contained
+    streams, classic + BigTIFF. Lossy: decoded 8-bit samples must sit
+    within PSNR>=40 dB of the source's high byte (the north-star lossy
+    invariant); structure errors must classify."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    y, x = np.mgrid[0:96, 0:80]
+    band = ((1000 + 40 * np.sin(x / 9.0) + 35 * np.cos(y / 7.0)) * 37
+            ).astype(np.uint16)
+    want8 = (band >> 8).astype(np.uint16)
+    geo = {"pixel_scale": (0.001, 0.001), "origin": (5.0, 52.0),
+           "epsg": 4326}
+    for tile in (None, 16):
+        for shared in (True, False):
+            for big in (False, True):
+                enc = codec.encode_tiff_jpeg_gray(
+                    band, quality=92, tile=tile, jpeg_tables=shared,
+                    bigtiff=big, geo=geo, rows_per_strip=40,
+                )
+                arr, meta = codec.decode_geotiff(enc)
+                assert arr.shape == band.shape and arr.dtype == np.uint16
+                assert meta["epsg"] == 4326
+                p = codec.psnr_db(arr, want8, peak=255)
+                assert p >= 40.0, (tile, shared, big, p)
+                # shared-table containers must actually carry tag 347
+                # (merge path exercised), self-contained ones must not
+                has_347 = b"\x5b\x01" in enc[-400:] or (347).to_bytes(
+                    2, "little") in enc
+                if shared:
+                    assert has_347
+
+    # dispatch path: fmt 'tiff' accepts it (8-bit gray samples)
+    enc = codec.encode_tiff_jpeg_gray(band, rows_per_strip=96)
+    out = codec.decode(enc, 80, 96, "tiff")
+    assert codec.psnr_db(out, want8, peak=255) >= 40.0
+    # truncation classifies (ValueError via the decode wrapper)
+    with pytest.raises(ValueError):
+        codec.decode(enc[: len(enc) // 2], 80, 96, "tiff")
+    # predictor with JPEG is structurally invalid -> gated
+    import struct as _s
+    bad = bytearray(enc)
+    pat = (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
+    assert bad.rfind(pat) != -1

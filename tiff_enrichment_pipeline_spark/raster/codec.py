@@ -299,29 +299,40 @@ def _lzw_decode(data: bytes) -> bytes:
 
 def _tiff_entry_bytes(tag: int, typ: int, vals: list, data: bytearray) -> bytes:
     """One 12-byte IFD entry; values >4 bytes are appended to ``data``
-    (the shared out-of-line region) and referenced by offset."""
-    vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+    (the shared out-of-line region) and referenced by offset. Type 7
+    (UNDEFINED — raw bytes, e.g. JPEGTables) passes vals=[bytes]."""
+    if typ == 7:
+        vb = bytes(vals[0])
+        n = len(vb)
+    else:
+        vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+        n = len(vals)
     if len(vb) <= 4:
-        return struct.pack("<HHI", tag, typ, len(vals)) + vb.ljust(4, b"\x00")
+        return struct.pack("<HHI", tag, typ, n) + vb.ljust(4, b"\x00")
     if len(data) % 2:
         data += b"\x00"  # TIFF offsets must be word-aligned
     off = len(data)
     data += vb
-    return struct.pack("<HHI", tag, typ, len(vals)) + struct.pack("<I", off)
+    return struct.pack("<HHI", tag, typ, n) + struct.pack("<I", off)
 
 
 def _tiff_entry_bytes_big(
     tag: int, typ: int, vals: list, data: bytearray
 ) -> bytes:
     """One 20-byte BigTIFF IFD entry (u8 count, 8-byte inline area)."""
-    vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+    if typ == 7:
+        vb = bytes(vals[0])
+        n = len(vb)
+    else:
+        vb = b"".join(struct.pack("<" + _TIFF_TYPE_FMT[typ], v) for v in vals)
+        n = len(vals)
     if len(vb) <= 8:
-        return struct.pack("<HHQ", tag, typ, len(vals)) + vb.ljust(8, b"\x00")
+        return struct.pack("<HHQ", tag, typ, n) + vb.ljust(8, b"\x00")
     if len(data) % 2:
         data += b"\x00"
     off = len(data)
     data += vb
-    return struct.pack("<HHQ", tag, typ, len(vals)) + struct.pack("<Q", off)
+    return struct.pack("<HHQ", tag, typ, n) + struct.pack("<Q", off)
 
 
 def encode_tiff_u16(
@@ -407,6 +418,40 @@ def encode_tiff_rgb(
     )
 
 
+def encode_tiff_jpeg_gray(
+    band: np.ndarray,
+    *,
+    quality: int = 92,
+    rows_per_strip: int = 64,
+    jpeg_tables: bool = True,
+    geo: dict | None = None,
+    tile: int | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """New-style JPEG-in-TIFF (Compression 7, TIFF TechNote 2, r7):
+    8-bit grayscale, each strip/tile an abbreviated JPEG stream with the
+    shared quant/Huffman tables in the JPEGTables tag (347) — the layout
+    libtiff writes — or fully self-contained streams when
+    ``jpeg_tables=False`` (also spec-legal; exercises the no-347 read
+    path). Lossy: samples are the high byte of the u16 band."""
+    if band.ndim != 2:
+        raise ValueError("band must be 2-D")
+    return _encode_tiff_int(
+        band.astype(np.uint16)[:, :, None],
+        bits=8,
+        photometric=1,
+        compression="jpeg",
+        rows_per_strip=rows_per_strip,
+        predictor=1,
+        geo=geo,
+        level=6,
+        tile=tile,
+        bigtiff=bigtiff,
+        jpeg_quality=quality,
+        jpeg_shared_tables=jpeg_tables,
+    )
+
+
 def _encode_tiff_int(
     arr: np.ndarray,
     *,
@@ -419,6 +464,8 @@ def _encode_tiff_int(
     level: int,
     tile: int | None,
     bigtiff: bool,
+    jpeg_quality: int = 92,
+    jpeg_shared_tables: bool = True,
 ) -> bytes:
     """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp), spp
     channels chunky-interleaved in the file."""
@@ -430,11 +477,29 @@ def _encode_tiff_int(
         comp_tag = 8
     elif compression == "lzw":
         comp_tag = 5
+    elif compression == "jpeg":
+        comp_tag, predictor = 7, 1
     else:
         raise ValueError(f"unsupported tiff compression {compression!r}")
     rows_per_strip = max(1, min(rows_per_strip, h))
+    _jt: list[bytes] = []  # shared JPEGTables, stashed by the first chunk
 
     def _pack(s: np.ndarray) -> bytes:
+        if comp_tag == 7:
+            from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
+
+            full = _jpeg.encode_jpeg_gray(
+                np.ascontiguousarray(s[:, :, 0]).astype(np.uint16),
+                quality=jpeg_quality,
+            )
+            if not jpeg_shared_tables:
+                return full
+            tables, abbrev = _jpeg.split_tables(full)
+            if not _jt:
+                # fixed Annex-K Huffman + one quality-scaled quant table
+                # ⇒ identical tables for every chunk
+                _jt.append(tables)
+            return abbrev
         if predictor == 2:
             d = s.copy()
             # per-component horizontal differencing (TIFF6 §14); sample
@@ -510,6 +575,8 @@ def _encode_tiff_int(
         ]
     if comp_tag in (5, 8):
         tags.append((317, _T_SHORT, [predictor]))
+    if _jt:
+        tags.append((347, 7, [_jt[0]]))  # JPEGTables (UNDEFINED bytes)
     if geo is not None:
         sx, sy = geo["pixel_scale"]
         west, north = geo["origin"]
@@ -591,9 +658,14 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
             vpos = off + 8
         fmt = _TIFF_TYPE_FMT.get(typ)
-        if fmt is None:
+        if fmt is None and tag != 347:
             continue  # rationals/ascii we never need — skip, don't fail
-        size = _TIFF_TYPE_SIZE[typ] * int(cnt)
+        if int(cnt) > (1 << 24):
+            # r7 fuzz finding: a corrupt count field built a multi-GB
+            # struct format string (`fmt * cnt`) — a C-level stall no
+            # signal can interrupt. No baseline tag carries >16M values.
+            raise ValueError(f"TIFF tag {tag} count {cnt} implausible")
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * int(cnt)
         if size <= inline:
             src = payload[vpos : vpos + size]
         else:
@@ -601,14 +673,29 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
                 e + ("Q" if big else "I"), payload[vpos : vpos + inline]
             )
             src = payload[voff : voff + size]
-        tags[tag] = list(struct.unpack(e + fmt * int(cnt), src))
+        if len(src) != size:
+            raise ValueError(
+                f"TIFF tag {tag} value runs past the payload"
+            )
+        if tag == 347:  # JPEGTables (type UNDEFINED): keep raw bytes
+            tags[tag] = [bytes(src)]
+        else:
+            tags[tag] = list(struct.unpack(e + fmt * int(cnt), src))
 
     tiled = 322 in tags or 324 in tags  # TileWidth/TileOffsets
     try:
         w, h = tags[256][0], tags[257][0]
+        # dimension sanity (r7 fuzz): a corrupt dim field must not drive
+        # a planet-sized allocation; 2^26 px = 128 MB u16 is far beyond
+        # any band/tile payload this engine carries
+        if not (0 < w <= (1 << 20) and 0 < h <= (1 << 20)
+                and w * h <= (1 << 26)):
+            raise ValueError(f"TIFF dimensions implausible ({w}x{h})")
         if tiled:
             offs, cnts = tags[324], tags[325]
             tw, tl = tags[322][0], tags[323][0]
+            if not (0 < tw <= (1 << 16) and 0 < tl <= (1 << 16)):
+                raise ValueError(f"TIFF tile dims implausible ({tw}x{tl})")
         else:
             offs, cnts = tags[273], tags[279]
     except KeyError as exc:
@@ -648,11 +735,24 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             f"TIFF profile outside baseline grayscale/RGB/float-DEM "
             f"(spp={spp}, bits={bits}, fmt={sfmt})"
         )
-    if comp not in (1, 5, 8):
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2, r7): each strip/tile
+        # is a (possibly abbreviated) JPEG stream, shared tables in tag
+        # 347. The stdlib JPEG decoder covers 8-bit gray; old-style
+        # Compression 6 and color JPEG-in-TIFF stay gated.
+        if spp != 1 or bits != 8 or sfmt != 1:
+            raise NotImplementedError(
+                f"JPEG-in-TIFF outside 8-bit grayscale "
+                f"(spp={spp}, bits={bits}, fmt={sfmt})"
+            )
+        if pred != 1:
+            raise NotImplementedError("predictor is invalid with JPEG")
+    elif comp not in (1, 5, 8):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
     if pred not in (1, 2) or (is_float and pred != 1):
         # predictor 3 (floating-point byte shuffling) stays gated
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
+    jpeg_tables = bytes(tags[347][0]) if 347 in tags else b""
 
     nbytes = bits // 8
     mask = (1 << bits) - 1
@@ -663,6 +763,18 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
 
     def _chunk(o: int, c: int, nrows: int, ncols: int) -> np.ndarray:
         raw = payload[o : o + c]
+        if comp == 7:
+            from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
+
+            # luma is v*257; >>8 restores the 8-bit sample exactly
+            a8 = _jpeg.decode_jpeg_gray(
+                _jpeg.merge_tables(jpeg_tables, raw)
+            ) >> 8
+            if a8.shape != (nrows, ncols):
+                raise ValueError(
+                    f"JPEG-in-TIFF chunk {a8.shape} != ({nrows}, {ncols})"
+                )
+            return a8.astype(np.uint16)
         if comp == 8:
             raw = zlib.decompress(raw)
         elif comp == 5:

@@ -1492,3 +1492,50 @@ def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
         np.round(0.299 * rr + 0.587 * gg + 0.114 * bb), 0, 255
     ).astype(np.uint16)
     return luma * 257
+
+
+def split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full interchange JPEG → (tables-only stream, abbreviated image
+    stream) per TIFF TechNote 2 (Compression 7): the tables stream is
+    ``SOI · DQT/DHT/DRI · EOI`` (goes into the JPEGTables tag 347), the
+    abbreviated stream is ``SOI · everything else`` (one per strip/tile).
+    A conformant reader rebuilds the interchange stream by splicing the
+    tables segments ahead of the per-chunk stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG segment desync while splitting tables")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + ln]
+        pos += 2 + ln
+        if marker in (0xDB, 0xC4, 0xDD):  # DQT / DHT / DRI
+            tables += seg
+        else:
+            image += seg
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            image += stream[pos:]
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(image)
+    raise ValueError("JPEG stream ended before SOS")
+
+
+def merge_tables(tables: bytes, chunk: bytes) -> bytes:
+    """Inverse of split_tables: tables stream (347) + abbreviated chunk →
+    interchange stream the decoder accepts. Chunks that already carry
+    their own tables (writers MAY mix) pass through unchanged when no
+    tables stream exists."""
+    if not tables:
+        return chunk
+    if tables[:2] != b"\xff\xd8" or chunk[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG-in-TIFF streams (missing SOI)")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return b"\xff\xd8" + body + chunk[2:]
