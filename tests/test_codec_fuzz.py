@@ -91,6 +91,19 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
             "tiff-rgb",
             codec.encode_tiff_rgb(np.stack([px, px, px], axis=-1)),
         ),
+        (
+            "tiff-packbits",
+            "tiff",
+            codec.encode_tiff_u16(px, compression="packbits"),
+        ),
+        (
+            "tiff-rgb-planar",
+            "tiff-rgb",
+            codec.encode_tiff_rgb(
+                np.stack([px, px, px], axis=-1), planar=2,
+                compression="packbits",
+            ),
+        ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
             "jpeg-prog",
@@ -168,6 +181,7 @@ def test_fuzz_truncation_ladder():
     px = _pixels(11)
     for fmt, payload in [
         ("tiff", codec.encode_tiff_u16(px, compression="lzw")),
+        ("tiff", codec.encode_tiff_u16(px, compression="packbits")),
         ("png", codec.encode_png_u16(px)),
         ("jpeg", jpeg.encode_jpeg_gray((px >> 8).astype(np.uint8))),
     ]:
@@ -180,6 +194,52 @@ def test_fuzz_truncation_ladder():
                 pass
             except _Timeout:
                 pytest.fail(f"{fmt}: hang at truncation {cut}")
+
+
+def test_fuzz_float_predictor3_classifies():
+    """The float-DEM container (SampleFormat 3 + TechNote-3 predictor,
+    r7) isn't reachable through codec.decode, so fuzz decode_geotiff
+    directly: 120 seeded mutants per compression must yield a float32
+    grid or classify as ValueError/NotImplementedError within the time
+    bound — same contract as the u16 surface."""
+    rng0 = np.random.default_rng(31)
+    grid = rng0.normal(500.0, 90.0, (64, 64)).astype(np.float32)
+    for comp in ("deflate", "lzw"):
+        payload = codec.encode_tiff_f32(
+            grid, compression=comp, predictor=3, rows_per_strip=16
+        )
+        import struct as _struct
+
+        rng = np.random.default_rng(zlib.crc32(f"f32-{comp}".encode()))
+        survived = 0
+        # decode_geotiff is the raw spec parser: the decode() wrapper
+        # normalizes these kinds to ValueError, so they're classified
+        benign = (ValueError, NotImplementedError, KeyError, IndexError,
+                  EOFError, OverflowError, _struct.error, zlib.error)
+        for mutant in _mutations(payload, rng, 120):
+            old = signal.signal(
+                signal.SIGALRM,
+                lambda s, f: (_ for _ in ()).throw(_Timeout("hang")),
+            )
+            signal.alarm(DECODE_TIMEOUT_S)
+            try:
+                arr, _meta = codec.decode_geotiff(mutant)
+            except benign:
+                continue
+            except _Timeout:
+                pytest.fail(f"f32-{comp}: decode hung on a mutant")
+            except MemoryError:
+                pytest.fail(f"f32-{comp}: unbounded allocation")
+            except Exception as e:  # noqa: BLE001
+                pytest.fail(
+                    f"f32-{comp}: unclassified {type(e).__name__}: {e}"
+                )
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+            assert arr.dtype in (np.float32, np.uint16)
+            survived += 1
+        assert survived < 120
 
 
 def test_differential_vs_pillow_if_available():

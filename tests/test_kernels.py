@@ -802,8 +802,9 @@ def test_tiff_rgb_roundtrips_and_luma():
     chunky-interleaved RGB roundtrips bit-exact across the full container
     matrix (8/16-bit x none/deflate/lzw x strips/tiles x classic/BigTIFF,
     with geo tags), the fmt='tiff-rgb' decode path yields the exact
-    integer BT.601 luma, and planar RGB (PlanarConfiguration 2) keeps
-    raising NotImplementedError so quarantine routes it 'unsupported'."""
+    integer BT.601 luma, and a LYING PlanarConfiguration tag (chunky
+    data relabelled planar — the chunk count can't match) classifies as
+    corrupt (ValueError), never decodes garbage silently."""
     from tiff_enrichment_pipeline_spark.raster import codec
 
     rng = np.random.default_rng(17)
@@ -837,18 +838,121 @@ def test_tiff_rgb_roundtrips_and_luma():
     assert got.dtype == np.uint16
     assert np.array_equal(got, want.astype(np.uint16))
 
-    # planar RGB (PlanarConfiguration 2) must stay gated: patch tag 284
+    # a LYING planar tag (chunky data relabelled PlanarConfiguration 2):
+    # the strip count can't equal spp x StripsPerImage, so the decoder
+    # must classify it corrupt rather than misread the layout (r7 —
+    # planar 2 itself now decodes, see test_tiff_planar_packbits_fp3)
     enc_pl = bytearray(codec.encode_tiff_rgb(img, compression="none"))
     # find the 284 IFD entry (classic little-endian: tag at entry start)
     pat = (284).to_bytes(2, "little") + (3).to_bytes(2, "little")
     i = enc_pl.rfind(pat)
     assert i != -1
     enc_pl[i + 8 : i + 10] = (2).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         codec.decode_geotiff(bytes(enc_pl))
-    # and the quarantine-facing dispatch classifies it 'unsupported'-wise
-    with pytest.raises(NotImplementedError):
+    # and the quarantine-facing dispatch classifies it 'corrupt'-wise
+    with pytest.raises(ValueError):
         codec.decode(bytes(enc_pl), 32, 32, "tiff-rgb")
+
+def test_tiff_planar_packbits_fp3():
+    """r7 profile extensions: PackBits (Compression 32773 — TIFF6 §9, a
+    baseline-reader REQUIREMENT, pinned against the spec's worked
+    example), PlanarConfiguration 2 (separate per-channel plane groups)
+    and float Predictor 3 (TechNote-3 byte shuffling, GDAL's default
+    for compressed float DEMs) all roundtrip bit-exact across the
+    container matrix, and corrupt PackBits streams classify instead of
+    allocating unbounded memory."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    rng = np.random.default_rng(23)
+
+    # TIFF6 §9 worked example pins BOTH directions of the RLE
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA"
+    )
+    assert codec._packbits_decode(packed, len(unpacked)) == unpacked
+    assert codec._packbits_encode(unpacked, len(unpacked)) == packed
+
+    # PackBits grayscale: strips/tiles x classic/BigTIFF x predictor 1/2
+    band = rng.integers(0, 65536, (97, 53)).astype(np.uint16)
+    runny = np.repeat(
+        rng.integers(0, 65536, (97, 7)), 8, axis=1
+    ).astype(np.uint16)[:, :53]
+    for im in (band, runny):
+        for tile in (None, 16):
+            for big in (False, True):
+                for pred in (1, 2):
+                    t = codec.encode_tiff_u16(
+                        im, compression="packbits", tile=tile,
+                        bigtiff=big, predictor=pred,
+                    )
+                    assert np.array_equal(codec.decode_tiff_u16(t), im)
+    # RLE earns its keep on run-heavy rasters
+    flat = np.full((64, 64), 7 * 257, np.uint16)
+    assert len(
+        codec.encode_tiff_u16(flat, compression="packbits", predictor=1)
+    ) < 0.1 * len(codec.encode_tiff_u16(flat, compression="none"))
+
+    # planar RGB x every compression x layout x container, 8- and 16-bit
+    geo = {"pixel_scale": (0.001, 0.001), "origin": (5.0, 52.0),
+           "epsg": 4326}
+    for dt, hi in ((np.uint8, 256), (np.uint16, 65536)):
+        img = rng.integers(0, hi, (61, 83, 3)).astype(dt)
+        for comp in ("none", "deflate", "lzw", "packbits"):
+            for tile in (None, 16):
+                for big in (False, True):
+                    enc = codec.encode_tiff_rgb(
+                        img, compression=comp, tile=tile, bigtiff=big,
+                        geo=geo, planar=2,
+                    )
+                    arr, meta = codec.decode_geotiff(enc)
+                    assert np.array_equal(
+                        arr, img.astype(np.uint16)
+                    ), (dt, comp, tile, big)
+                    assert meta["epsg"] == 4326
+    # planar flows through the fmt='tiff-rgb' luma dispatch too
+    img8 = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    a = img8.astype(np.uint32)
+    want = ((299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000)
+    got = codec.decode(
+        codec.encode_tiff_rgb(img8, planar=2, compression="packbits"),
+        32, 32, "tiff-rgb",
+    )
+    assert np.array_equal(got, want.astype(np.uint16))
+
+    # float predictor 3: bit-exact (incl. NaN payload bytes? — use
+    # finite values plus inf/-inf edge samples) and materially smaller
+    # on a smooth DEM than predictor 1
+    grid = rng.normal(500, 120, (75, 41)).astype(np.float32)
+    grid[0, 0], grid[1, 1] = np.float32("inf"), np.float32("-inf")
+    for comp in ("deflate", "lzw"):
+        for pred in (1, 3):
+            e = codec.encode_tiff_f32(
+                grid, compression=comp, predictor=pred, rows_per_strip=17
+            )
+            arr2, _ = codec.decode_geotiff(e)
+            assert arr2.dtype == np.float32
+            assert np.array_equal(
+                arr2[np.isfinite(grid)], grid[np.isfinite(grid)]
+            )
+            assert np.array_equal(
+                arr2[~np.isfinite(grid)], grid[~np.isfinite(grid)]
+            )
+    y, x = np.mgrid[0:128, 0:128]
+    dem = (400 + 30 * np.sin(x / 11.0) + 20 * np.cos(y / 13.0)).astype(
+        np.float32
+    )
+    assert len(codec.encode_tiff_f32(dem, predictor=3)) < 0.5 * len(
+        codec.encode_tiff_f32(dem, predictor=1)
+    )
+
+    # corrupt PackBits: truncated replicate/literal and oversize output
+    # classify as ValueError before any large allocation
+    for bad in (b"\x81", b"\x05abc", b"\xfe\xaa" * 4096):
+        with pytest.raises(ValueError):
+            codec._packbits_decode(bad, 16)
+
 
 def test_tiff_jpeg_in_tiff_roundtrips():
     """r7 Compression 7 (new-style JPEG-in-TIFF, TIFF TechNote 2):

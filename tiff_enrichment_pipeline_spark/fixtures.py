@@ -297,6 +297,12 @@ def band_rows_from_orders(
                     tile, big = 16, False
                 elif r == 7:
                     comp, tile, big = "deflate", 16, False
+                elif r == 2 and c % 16 == 2:
+                    # r7: PackBits (TIFF6 §9 baseline RLE) rides 1/16 of
+                    # tiffs — cheap to encode (single numpy pass + a
+                    # short control-byte loop), lossless, so every
+                    # pixel-value oracle is untouched
+                    comp, tile, big = "packbits", None, False
                 else:
                     comp, tile, big = "deflate", None, False
                 enc = codec.encode_tiff_u16(
@@ -306,8 +312,14 @@ def band_rows_from_orders(
                 # r7: the reference's `regular_tiff` bucket (ordinary RGB
                 # TIFF, main.py:50-108) as gray-in-RGB — R=G=B=v, so the
                 # BT.601 integer luma the decode path emits is exactly v
-                # and every pixel-value oracle is untouched
-                enc = codec.encode_tiff_rgb(np.stack([px, px, px], axis=-1))
+                # and every pixel-value oracle is untouched. 1/4 of RGB
+                # payloads ship PlanarConfiguration 2 (separate plane
+                # groups) so the driver-checked queries exercise the
+                # planar read path too.
+                enc = codec.encode_tiff_rgb(
+                    np.stack([px, px, px], axis=-1),
+                    planar=2 if c % 4 == 1 else 1,
+                )
             elif f == "lossy-q12":
                 enc = codec.encode_lossy_q12(px)
             elif f == "png":

@@ -28,7 +28,14 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   the early-change convention, encoder + decoder), TILED layout (tags
   322-325, padded edge tiles per §15) and the BigTIFF container (magic
   43, 8-byte offsets, LONG8 types) — the profiles real GIS stacks emit.
-  Remaining exotic variants (JPEG-in-TIFF, RGB/multi-sample, float
+  Round 7 adds RGB (SamplesPerPixel 3, 8/16-bit, chunky AND separate
+  PlanarConfiguration-2 planes; fmt ``tiff-rgb`` reduces via exact
+  integer BT.601 luma), new-style JPEG-in-TIFF (Compression 7, tag
+  347 shared tables), PackBits (Compression 32773, §9 — a baseline-
+  reader requirement), float32 SampleFormat-3 rasters (the DEM source)
+  and float Predictor 3 (TechNote-3 byte shuffle, GDAL's compressed-
+  DEM default). Remaining exotic variants (old-style Compression-6
+  JPEG, color JPEG-in-TIFF, CMYK/extra-sample, predictor 3 on integer
   samples) fall back to a Pillow-gated path and raise
   NotImplementedError when absent.
 
@@ -297,6 +304,78 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_encode(raw: bytes, row_bytes: int) -> bytes:
+    """TIFF PackBits (Compression 32773, TIFF6 §9): byte-oriented RLE.
+    The spec requires each ROW be packed separately ("do not compress
+    across row boundaries"), so the encoder takes the uncompressed row
+    stride. Runs ≥2 become replicate packets (n in [-1,-127], next byte
+    repeated 1-n times); everything else literal packets (n in [0,127],
+    n+1 verbatim bytes); a 2-byte run inside a literal is folded into the
+    literal only when splitting would cost more (here: never — 2-runs
+    always encode as replicate packets, which ties or wins)."""
+    out = bytearray()
+    n_total = len(raw)
+    for r0 in range(0, n_total, row_bytes):
+        row = raw[r0 : r0 + row_bytes]
+        i, n = 0, len(row)
+        while i < n:
+            j = i
+            while j < n - 1 and j - i < 127 and row[j] == row[j + 1]:
+                j += 1
+            if j > i:  # replicate packet, length j-i+1 in [2,128]
+                out.append(256 - (j - i))
+                out.append(row[i])
+                i = j + 1
+                continue
+            # literal packet: scan until a run of >=3 starts (or caps)
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of _packbits_encode. ``expected`` bounds the output (the
+    strip/tile's uncompressed byte count from the IFD geometry) — every
+    count is checked against it and the remaining input BEFORE any
+    allocation (r7 fuzz lesson: attacker-controlled counts must never
+    drive memory growth); overruns and truncations raise ValueError
+    ('corrupt'), never hang."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b == 128:  # no-op per spec
+            continue
+        if b > 128:  # replicate next byte 257-b times
+            cnt = 257 - b
+            if i >= n:
+                raise ValueError("packbits replicate packet truncated")
+            if len(out) + cnt > expected:
+                raise ValueError("packbits output exceeds strip size")
+            out += bytes([data[i]]) * cnt
+            i += 1
+        else:  # literal of b+1 bytes
+            cnt = b + 1
+            if i + cnt > n:
+                raise ValueError("packbits literal packet truncated")
+            if len(out) + cnt > expected:
+                raise ValueError("packbits output exceeds strip size")
+            out += data[i : i + cnt]
+            i += cnt
+    if len(out) < expected:
+        raise ValueError(
+            f"packbits stream short: {len(out)} of {expected} bytes"
+        )
+    return bytes(out)
+
+
 def _tiff_entry_bytes(tag: int, typ: int, vals: list, data: bytearray) -> bytes:
     """One 12-byte IFD entry; values >4 bytes are appended to ``data``
     (the shared out-of-line region) and referenced by offset. Type 7
@@ -362,7 +441,9 @@ def encode_tiff_u16(
     GIS stacks emit): ``compression='lzw'`` (tag 5, TIFF6 §13 LZW with
     the early-change convention), ``tile=N`` (tiled layout — tags
     322/323/324/325, edge tiles padded to full N×N per spec §15) and
-    ``bigtiff=True`` (the 8-byte-offset BigTIFF container, magic 43)."""
+    ``bigtiff=True`` (the 8-byte-offset BigTIFF container, magic 43).
+    Round-7 adds ``compression='packbits'`` (tag 32773, TIFF6 §9 RLE —
+    a baseline-reader requirement, so common in the wild)."""
     if band.ndim != 2:
         raise ValueError("band must be 2-D")
     return _encode_tiff_int(
@@ -389,13 +470,16 @@ def encode_tiff_rgb(
     level: int = 6,
     tile: int | None = None,
     bigtiff: bool = False,
+    planar: int = 1,
 ) -> bytes:
-    """Chunky-interleaved RGB TIFF (r7): ``img`` is (h, w, 3) uint8 or
-    uint16 (BitsPerSample follows the dtype). Same container matrix as
-    the grayscale encoder — strips/tiles, none/deflate/LZW, classic/
-    BigTIFF, optional GeoTIFF tags; PlanarConfiguration 1 always (the
-    profile the reference's `regular_tiff` bucket carries,
-    main.py:50-108)."""
+    """RGB TIFF (r7): ``img`` is (h, w, 3) uint8 or uint16
+    (BitsPerSample follows the dtype). Same container matrix as the
+    grayscale encoder — strips/tiles, none/deflate/LZW/PackBits,
+    classic/BigTIFF, optional GeoTIFF tags. ``planar=1`` (default) is
+    chunky interleaved — the profile the reference's `regular_tiff`
+    bucket carries (main.py:50-108); ``planar=2`` writes separate
+    per-channel plane groups (TIFF6 PlanarConfiguration 2, the layout
+    some scientific writers emit)."""
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("img must be (h, w, 3)")
     if img.dtype == np.uint8:
@@ -415,6 +499,7 @@ def encode_tiff_rgb(
         level=level,
         tile=tile,
         bigtiff=bigtiff,
+        planar=planar,
     )
 
 
@@ -466,10 +551,16 @@ def _encode_tiff_int(
     bigtiff: bool,
     jpeg_quality: int = 92,
     jpeg_shared_tables: bool = True,
+    planar: int = 1,
 ) -> bytes:
-    """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp), spp
-    channels chunky-interleaved in the file."""
+    """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp).
+    ``planar=1`` interleaves channels chunky in each strip/tile (the
+    common layout); ``planar=2`` (r7) writes one plane per strip/tile
+    group — all plane-0 chunks first, then plane 1, ... (TIFF6 §"Planar
+    Configuration": StripOffsets count becomes spp x StripsPerImage)."""
     h, w, spp = arr.shape
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration must be 1 or 2, got {planar}")
     sample_dt = "<u2" if bits == 16 else "u1"
     if compression == "none":
         comp_tag, predictor = 1, 1
@@ -477,6 +568,10 @@ def _encode_tiff_int(
         comp_tag = 8
     elif compression == "lzw":
         comp_tag = 5
+    elif compression == "packbits":
+        # tag 32773 — TIFF6 §9 baseline RLE (every baseline reader must
+        # support it, so real-world files carry it routinely)
+        comp_tag = 32773
     elif compression == "jpeg":
         comp_tag, predictor = 7, 1
     else:
@@ -511,6 +606,10 @@ def _encode_tiff_int(
             return zlib.compress(raw, level)
         if comp_tag == 5:
             return _lzw_encode(raw)
+        if comp_tag == 32773:
+            # rows pack separately (TIFF6 §9) — stride is the chunk's
+            # own row, whatever channel count it carries
+            return _packbits_encode(raw, s.shape[1] * s.shape[2] * (bits // 8))
         return raw
 
     if bigtiff:
@@ -541,6 +640,12 @@ def _encode_tiff_int(
                         mode="edge",
                     )
                 )
+    if planar == 2 and spp > 1:
+        # per-plane chunk groups: all of plane 0's strips/tiles, then
+        # plane 1's, ... — each chunk single-channel
+        chunks = [
+            c[:, :, p : p + 1] for p in range(spp) for c in chunks
+        ]
     for s in chunks:
         piece = _pack(s)
         if len(data) % 2:
@@ -559,7 +664,7 @@ def _encode_tiff_int(
         (339, _T_SHORT, [1] * spp),  # unsigned integer samples
     ]
     if spp > 1:
-        tags.append((284, _T_SHORT, [1]))  # chunky interleaved
+        tags.append((284, _T_SHORT, [planar]))  # 1=chunky, 2=planar
     if tile is None:
         tags += [
             (273, _T_LONG, offsets),
@@ -573,7 +678,7 @@ def _encode_tiff_int(
             (324, _T_LONG, offsets),
             (325, _T_LONG, counts),
         ]
-    if comp_tag in (5, 8):
+    if comp_tag in (5, 8, 32773):
         tags.append((317, _T_SHORT, [predictor]))
     if _jt:
         tags.append((347, 7, [_jt[0]]))  # JPEGTables (UNDEFINED bytes)
@@ -618,9 +723,12 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     """TIFF decode → (uint16 array, geo metadata dict).
 
     Handles both byte orders, strip AND tiled layout, classic and
-    BigTIFF containers, Compression 1/5 (LZW)/8 (Deflate), Predictor
-    1/2, bit depth 8/16 grayscale AND (r7) chunky-interleaved RGB
-    (SamplesPerPixel 3, PlanarConfiguration 1 — returns (h, w, 3)).
+    BigTIFF containers, Compression 1/5 (LZW)/8 (Deflate)/32773
+    (PackBits, r7), integer Predictor 1/2 and float Predictor 3 (r7,
+    TechNote-3 byte shuffling), bit depth 8/16 grayscale AND (r7) RGB
+    (SamplesPerPixel 3) in both chunky (PlanarConfiguration 1) and
+    separate-plane (PlanarConfiguration 2, r7) layouts — returns
+    (h, w, 3) for RGB.
     Raises NotImplementedError on variants outside that profile
     (JPEG-in-TIFF, planar RGB, CMYK/extra samples) so ``decode`` can
     route those to the optional-Pillow fallback. Geo metadata (when the GeoTIFF
@@ -714,15 +822,12 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     sfmt = tags.get(339, [1])[0]
     planar = tags.get(284, [1])[0]
     is_float = sfmt == 3
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF PlanarConfiguration {planar} invalid")
     if spp == 3:
         # RGB (r7 — the reference's `regular_tiff` bucket, main.py:50-108
-        # classifies ordinary RGB TIFFs): chunky interleaved only;
-        # PlanarConfiguration 2 (separate planes) stays gated → the
-        # quarantine routes it 'unsupported'
-        if planar != 1:
-            raise NotImplementedError(
-                "TIFF PlanarConfiguration 2 (planar RGB) not supported"
-            )
+        # classifies ordinary RGB TIFFs): chunky interleaved (planar 1)
+        # and separate-plane (planar 2) layouts both decode
         if sfmt != 1 or bits not in (8, 16) or any(
             b != bits for b in bits_v
         ):
@@ -747,10 +852,16 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             )
         if pred != 1:
             raise NotImplementedError("predictor is invalid with JPEG")
-    elif comp not in (1, 5, 8):
+    elif comp not in (1, 5, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
-    if pred not in (1, 2) or (is_float and pred != 1):
-        # predictor 3 (floating-point byte shuffling) stays gated
+    if is_float:
+        # predictor 3 (r7, TIFF TechNote 3 floating-point byte
+        # shuffling — what GDAL writes for compressed float DEMs)
+        if pred not in (1, 3):
+            raise NotImplementedError(
+                f"TIFF float predictor {pred} not supported"
+            )
+    elif pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
     jpeg_tables = bytes(tags[347][0]) if 347 in tags else b""
 
@@ -761,7 +872,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     else:
         dt, out_dt = e + ("u2" if bits == 16 else "u1"), np.uint16
 
-    def _chunk(o: int, c: int, nrows: int, ncols: int) -> np.ndarray:
+    def _chunk(o: int, c: int, nrows: int, ncols: int, nch: int) -> np.ndarray:
         raw = payload[o : o + c]
         if comp == 7:
             from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
@@ -779,9 +890,31 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             raw = zlib.decompress(raw)
         elif comp == 5:
             raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, nrows * ncols * nch * nbytes)
+        if pred == 3:
+            # TechNote-3 float decode: byte-wise cumulative sum along
+            # each row, then de-shuffle the per-row byte planes (plane 0
+            # = most significant byte, i.e. big-endian order — the
+            # layout is byte-order independent, matching libtiff fpAcc)
+            rb = ncols * nch * 4
+            a = np.frombuffer(raw[: nrows * rb], np.uint8)
+            if a.size != nrows * rb:
+                raise ValueError("float TIFF strip truncated")
+            a = (np.cumsum(a.reshape(nrows, rb), axis=1,
+                           dtype=np.uint32) & 0xFF).astype(np.uint8)
+            s = (
+                np.ascontiguousarray(
+                    a.reshape(nrows, 4, ncols * nch).transpose(0, 2, 1)
+                )
+                .view(">f4")
+                .astype(np.float32)
+                .reshape(nrows, ncols, nch)
+            )
+            return s if nch > 1 else s[:, :, 0]
         s = (
-            np.frombuffer(raw[: nrows * ncols * spp * nbytes], dtype=dt)
-            .reshape(nrows, ncols, spp)
+            np.frombuffer(raw[: nrows * ncols * nch * nbytes], dtype=dt)
+            .reshape(nrows, ncols, nch)
             .astype(out_dt)
         )
         if pred == 2:
@@ -790,26 +923,50 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             s = (np.cumsum(s.astype(np.uint32), axis=1) & mask).astype(
                 np.uint16
             )
-        return s if spp > 1 else s[:, :, 0]
+        return s if nch > 1 else s[:, :, 0]
 
-    if tiled:
-        # tiles are stored full tw×tl (edge tiles padded, TIFF6 §15) in
-        # row-major tile order; assemble then crop
-        tiles_across = -(-w // tw)
-        shape = (-(-h // tl) * tl, tiles_across * tw)
-        arr = np.zeros(shape + ((spp,) if spp > 1 else ()), out_dt)
-        for idx, (o, c) in enumerate(zip(offs, cnts)):
-            ty, tx = divmod(idx, tiles_across)
-            arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = _chunk(
-                o, c, tl, tw
-            )
-        arr = arr[:h, :w]
-    else:
+    def _assemble(offs_, cnts_, nch: int) -> np.ndarray:
+        if tiled:
+            # tiles are stored full tw×tl (edge tiles padded, TIFF6 §15)
+            # in row-major tile order; assemble then crop
+            tiles_across = -(-w // tw)
+            shape = (-(-h // tl) * tl, tiles_across * tw)
+            a = np.zeros(shape + ((nch,) if nch > 1 else ()), out_dt)
+            for idx, (o, c) in enumerate(zip(offs_, cnts_)):
+                ty, tx = divmod(idx, tiles_across)
+                a[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                    _chunk(o, c, tl, tw, nch)
+                )
+            return a[:h, :w]
         chunks = [
-            _chunk(o, c, min(rps, h - y0), w)
-            for y0, o, c in zip(range(0, h, rps), offs, cnts)
+            _chunk(o, c, min(rps, h - y0), w, nch)
+            for y0, o, c in zip(range(0, h, rps), offs_, cnts_)
         ]
-        arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+    if planar == 2 and spp > 1:
+        # separate-plane layout: chunk list is spp back-to-back groups,
+        # each a full single-channel image (TIFF6 PlanarConfiguration)
+        per = (
+            (-(-w // tw)) * (-(-h // tl)) if tiled else -(-h // rps)
+        )
+        if len(offs) != spp * per or len(cnts) != spp * per:
+            raise ValueError(
+                f"planar TIFF chunk count {len(offs)} != {spp}x{per}"
+            )
+        arr = np.stack(
+            [
+                _assemble(
+                    offs[p * per : (p + 1) * per],
+                    cnts[p * per : (p + 1) * per],
+                    1,
+                )
+                for p in range(spp)
+            ],
+            axis=-1,
+        )
+    else:
+        arr = _assemble(offs, cnts, spp)
 
     meta: dict = {}
     if 33550 in tags:
@@ -867,6 +1024,24 @@ def decode_tiff_rgb_luma(payload: bytes) -> np.ndarray:
     ).astype(np.uint16)
 
 
+def _fp_diff_rows(block: np.ndarray) -> bytes:
+    """TIFF TechNote 3 float predictor (encode side): per row, split the
+    big-endian sample bytes into byte planes (MSB plane first), then
+    byte-wise horizontal differencing across the shuffled row. Inverse
+    of the ``pred == 3`` branch in decode_geotiff's _chunk (libtiff
+    fpDiff/fpAcc)."""
+    nr, nc = block.shape
+    be = (
+        np.ascontiguousarray(block.astype(">f4"))
+        .view(np.uint8)
+        .reshape(nr, nc, 4)
+    )
+    shuf = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(nr, nc * 4)
+    d = shuf.astype(np.int16)
+    d[:, 1:] -= shuf[:, :-1].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
 def encode_tiff_f32(
     grid: np.ndarray,
     *,
@@ -874,28 +1049,42 @@ def encode_tiff_f32(
     rows_per_strip: int = 64,
     geo: dict | None = None,
     level: int = 6,
+    predictor: int = 1,
 ) -> bytes:
     """float32 (h, w) raster -> GeoTIFF (SampleFormat 3, 32-bit) — the
     profile real-world DEMs ship in (USGS 3DEP / SRTM GeoTIFF exports).
-    Strip layout, Compression 1/8, predictor 1 (the float predictor 3
-    byte-shuffle stays out of scope). ``geo`` as in encode_tiff_u16."""
+    Strip layout, Compression 1/5/8. ``predictor=3`` (r7, TIFF TechNote
+    3 floating-point byte shuffling + differencing — GDAL's default for
+    compressed float DEMs) groups the exponent/mantissa bytes so deflate
+    and LZW compress far better; lossless, bit-exact on roundtrip.
+    ``geo`` as in encode_tiff_u16."""
     if grid.ndim != 2:
         raise ValueError("grid must be 2-D")
     arr = np.ascontiguousarray(grid.astype("<f4"))
     h, w = arr.shape
     if compression == "none":
-        comp_tag = 1
+        comp_tag, predictor = 1, 1
     elif compression == "deflate":
         comp_tag = 8
+    elif compression == "lzw":
+        comp_tag = 5
     else:
         raise ValueError(f"unsupported tiff compression {compression!r}")
+    if predictor not in (1, 3):
+        raise ValueError(f"float predictor must be 1 or 3, got {predictor}")
     rows_per_strip = max(1, min(rows_per_strip, h))
 
     data = bytearray(b"II*\x00\x00\x00\x00\x00")
     offsets, counts = [], []
     for y0 in range(0, h, rows_per_strip):
-        raw = arr[y0 : y0 + rows_per_strip].tobytes()
-        piece = zlib.compress(raw, level) if comp_tag == 8 else raw
+        block = arr[y0 : y0 + rows_per_strip]
+        raw = _fp_diff_rows(block) if predictor == 3 else block.tobytes()
+        if comp_tag == 8:
+            piece = zlib.compress(raw, level)
+        elif comp_tag == 5:
+            piece = _lzw_encode(raw)
+        else:
+            piece = raw
         if len(data) % 2:
             data += b"\x00"
         offsets.append(len(data))
@@ -914,6 +1103,8 @@ def encode_tiff_f32(
         (279, _T_LONG, counts),
         (339, _T_SHORT, [3]),  # IEEE float samples
     ]
+    if predictor == 3:
+        tags.append((317, _T_SHORT, [3]))
     if geo is not None:
         sx, sy = geo["pixel_scale"]
         west, north = geo["origin"]

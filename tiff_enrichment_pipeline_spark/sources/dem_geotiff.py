@@ -54,11 +54,20 @@ _EXPORT_SCHEMA = "tile_x int, tile_y int, path string, nbytes long"
 
 
 def export_dem_geotiffs(
-    dem_tiles: DataFrame, out_dir: str, *, compression: str = "deflate"
+    dem_tiles: DataFrame,
+    out_dir: str,
+    *,
+    compression: str = "deflate",
+    predictor: int = 3,
 ) -> DataFrame:
     """Write each ``(tile_x, tile_y, grid)`` row as ``dem_{tx}_{ty}.tif``
     (float32 GeoTIFF) under ``out_dir``; returns a lazy manifest
     ``tile_x tile_y path nbytes``.
+
+    ``predictor=3`` (default, r7) is the TechNote-3 floating-point
+    byte-shuffle GDAL uses for compressed float DEMs — lossless,
+    typically several× smaller on smooth terrain; pass 1 for plain
+    deflate-of-raw-samples.
 
     ``out_dir`` must be a SHARED filesystem (NFS/Lustre/fuse-mounted
     object store) when running multi-node: tasks write with plain
@@ -81,6 +90,7 @@ def export_dem_geotiffs(
                 payload = codec.encode_tiff_f32(
                     np.flipud(grid),  # engine south-up -> GeoTIFF north-down
                     compression=compression,
+                    predictor=predictor if compression != "none" else 1,
                     geo={
                         "pixel_scale": (DEM_STEP, DEM_STEP),
                         "origin": (
