@@ -96,6 +96,58 @@ def test_audio_features(spark):
     assert abs(r["zero_crossings"] - 880) <= 2
 
 
+def test_audio_wav_container(spark):
+    """r7 'wav' fmt: REAL RIFF/WAVE PCM-16 parse — mono matches the
+    headerless pcm-s16le features exactly; the container's own sample
+    rate WINS over a lying column; stereo mixes down by mean; corrupt
+    and compressed-profile containers classify (ValueError /
+    NotImplementedError)."""
+    import pytest as _pytest
+
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        _decode_wav,
+        encode_wav_s16,
+    )
+
+    sr = 16000
+    t = np.arange(sr)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / sr)).astype("<i2")
+    wav = encode_wav_s16(sine, sr)
+    # column LIES (8000): the wav header's 16000 must govern duration
+    rows = [
+        (1, sine.tobytes(), sr, "pcm-s16le"),
+        (2, wav, 8000, "wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "audio_id long, bytes binary, sample_rate int, fmt string"
+    )
+    got = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[2]["duration_s"] == pytest.approx(1.0)
+    assert got[2]["rms"] == pytest.approx(got[1]["rms"])
+    assert got[2]["zero_crossings"] == got[1]["zero_crossings"]
+
+    # stereo mixdown: L = sine, R = -sine → mean is 0
+    stereo = np.empty(2 * sr, dtype="<i2")
+    stereo[0::2], stereo[1::2] = sine, -sine
+    mono, rate = _decode_wav(encode_wav_s16(stereo, sr, n_ch=2))
+    assert rate == sr and len(mono) == sr
+    assert np.allclose(mono, 0.0)
+
+    # classification: truncation ladder + compressed profile + lying size
+    for cut in range(1, len(wav), max(1, len(wav) // 64)):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            _decode_wav(wav[:cut])
+    ieee = bytearray(wav)
+    ieee[20:22] = (3).to_bytes(2, "little")  # IEEE-float WAV → gated
+    with _pytest.raises(NotImplementedError):
+        _decode_wav(bytes(ieee))
+    lying = bytearray(wav)
+    lying[4:8] = (2**31 - 1).to_bytes(4, "little")  # RIFF size field lies
+    # RIFF size isn't trusted for reads; chunk bounds still govern
+    m2, r2 = _decode_wav(bytes(lying))
+    assert r2 == sr and len(m2) == sr
+
+
 def test_multimodal_is_single_map_stage(spark, images):
     """No shuffle: resize+features chained is still exchanges-free."""
     out = extract_image_features(resize_images(images, 16, 12))

@@ -20,7 +20,10 @@ Formats (see raster/codec.py for the image ones):
   stdlib-side, r6)
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
-- audio  : ``pcm-s16le`` — mono int16 little-endian; flac/mp3 →
+- audio  : ``pcm-s16le`` — mono int16 little-endian (headerless; the
+  table's sample_rate column governs) and ``wav`` (r7) — REAL
+  RIFF/WAVE integer-PCM-16 container parse, any plausible channel
+  count mixed down by mean, the container's own rate wins; flac/mp3 →
   NotImplementedError
 
 Scale shape: each operator is a pure map stage — no shuffle, no driver
@@ -85,13 +88,87 @@ def _decode_video(payload: bytes, w: int, h: int, n_frames: int, fmt: str) -> np
     return np.frombuffer(payload, dtype="<u2").reshape(n_frames, h, w)
 
 
-def _decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    if fmt != "pcm-s16le":
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE integer-PCM parser (hand-rolled on ``struct``
+    so corrupt containers classify — ValueError — instead of whatever a
+    library raises): fmt-chunk audio format 1 at 16-bit, any plausible
+    channel count (multi-channel mixes down by mean). Every chunk size
+    is bounded against the buffer BEFORE any read/allocation (the r7
+    fuzz discipline). Returns (mono float64 samples, sample_rate)."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(payload)
+    fmt_chunk = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if size > n - pos - 8:
+            raise ValueError("WAV chunk size exceeds buffer")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    audio_format, n_ch, rate, _brate, _balign, bits = fmt_chunk
+    if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"audio codec {fmt!r} requires an external library (not in this "
-            "container); use pcm-s16le or ship a decoder via --py-files env"
+            f"WAV profile (format={audio_format}, bits={bits}) outside "
+            "integer PCM-16; compressed WAV needs an external codec"
         )
-    return np.frombuffer(payload, dtype="<i2").astype(np.float64)
+    if not (1 <= n_ch <= 64) or not (1 <= rate <= 10_000_000):
+        raise ValueError(f"WAV header implausible (ch={n_ch}, rate={rate})")
+    usable = len(data) - (len(data) % (2 * n_ch))
+    x = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, n_ch)
+    mono = (
+        x.mean(axis=1, dtype=np.float64)
+        if n_ch > 1
+        else x[:, 0].astype(np.float64)
+    )
+    return mono, int(rate)
+
+
+def encode_wav_s16(
+    samples: np.ndarray, rate: int, n_ch: int = 1
+) -> bytes:
+    """int16 samples (len divisible by n_ch, interleaved) → RIFF/WAVE
+    PCM-16 — the test-vector twin of _decode_wav."""
+    import struct
+
+    pcm = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int | None]:
+    """→ (mono float64 samples, container sample rate or None when the
+    format is headerless and the table's sample_rate column governs)."""
+    if fmt == "pcm-s16le":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64), None
+    if fmt == "wav":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        f"audio codec {fmt!r} requires an external library (not in this "
+        "container); use pcm-s16le or wav, or ship a decoder via "
+        "--py-files env"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -305,13 +382,17 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             for aid, payload, sr, fmt in zip(
                 pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
             ):
-                x = _decode_audio(bytes(payload), str(fmt))
+                x, container_rate = _decode_audio(bytes(payload), str(fmt))
+                # a self-describing container (wav) carries its own rate
+                # and wins over the column — the column is the contract
+                # for headerless pcm-s16le only
+                eff_sr = container_rate if container_rate else float(sr)
                 out["audio_id"].append(aid)
                 out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 out["zero_crossings"].append(
                     int(np.count_nonzero(np.diff(np.signbit(x))))
                 )
-                out["duration_s"].append(len(x) / float(sr))
+                out["duration_s"].append(len(x) / float(eff_sr))
             yield pd.DataFrame(out)
 
     return audio.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
