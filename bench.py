@@ -23,6 +23,12 @@ Evidence modes (each appends its table to BENCH.md):
               control) on the same hot fixture
 --dedup-scale MinHash-LSH→pairs→CC chain at ≥1M docs, CC round counts
               (label-prop vs star) incl. a high-diameter chain arm
+--ann-scale   IVF write + partition-pruned probe vs exact brute force
+              at $SPARK_GRAFT_ANN_N (default 10M) vectors — recall@10,
+              per-stage wall, PartitionFilters evidence
+--multimodal-scale  $SPARK_GRAFT_MM_N (default 1M) mixed-format band
+              payloads through resize_and_extract / band_pixel_stats —
+              decode images/sec at scale, fixture-encode cost separated
 """
 
 from __future__ import annotations
@@ -1069,6 +1075,182 @@ def run_ann_scale() -> None:
         spark.stop()
 
 
+def run_multimodal_scale() -> None:
+    """Scaled multimodal-decode evidence (VERDICT r6 #3's second half,
+    mirroring --ann-scale): $SPARK_GRAFT_MM_N (default 1M) 64x64 u16
+    band payloads encoded across the PRODUCTION format rotation
+    (raw-u16 / lossy-q12 / png / tiff incl. LZW-tiled-BigTIFF-PackBits
+    container residues / tiff-rgb incl. planar-2) written to parquet,
+    then timed through the two production decode paths:
+
+      - ``resize_and_extract`` (decode -> bilinear resize -> features,
+        ONE Arrow crossing) -- the headline images/sec;
+      - ``band_pixel_stats`` (decode -> integer stats, no resize) --
+        attributes decode cost vs resize+feature cost.
+
+    Synthesis/encode is timed separately (the r7 fixture-LZW lesson:
+    encode cost is a fixture variable, not engine cost). The
+    map-stage plan is checked Exchange-free and the per-format mix is
+    recorded. Nothing is special-cased for the bench -- both timed
+    stages are the exact operators the driver queries run."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.raster import codec
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        band_pixel_stats,
+        resize_and_extract,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_MM_N", "1000000"))
+    w = h = 64
+    spark = build_session(CPUS)
+    work = tempfile.mkdtemp(prefix="mm_scale_")
+    rec = {"metric": "multimodal_scaled", "n_images": n, "w": w, "h": h,
+           "load_start": _load1()}
+    try:
+        def _fmt_for(i: int) -> str:
+            r = i % 11
+            if r == 3:
+                return "lossy-q12"
+            if r == 7:
+                return "png"
+            if r == 5:
+                return "tiff-rgb" if (i // 11) % 2 == 1 else "tiff"
+            return "raw-u16"
+
+        def _encode(px: np.ndarray, i: int, fmt: str) -> bytes:
+            if fmt == "tiff":
+                # the production container rotation (fixtures.py r7
+                # rebalance): LZW 3/16, tiled/BigTIFF/PackBits residues
+                c = i // 11
+                r = c % 8
+                if r == 1:
+                    comp, tile, big = "lzw", None, False
+                elif r == 3:
+                    comp, tile, big = "deflate", None, True
+                elif r == 5:
+                    comp = "lzw" if c % 16 == 5 else "deflate"
+                    tile, big = 16, False
+                elif r == 7:
+                    comp, tile, big = "deflate", 16, False
+                elif r == 2 and c % 16 == 2:
+                    comp, tile, big = "packbits", None, False
+                else:
+                    comp, tile, big = "deflate", None, False
+                return codec.encode_tiff_u16(
+                    px, compression=comp, tile=tile, bigtiff=big
+                )
+            if fmt == "tiff-rgb":
+                return codec.encode_tiff_rgb(
+                    np.stack([px, px, px], axis=-1),
+                    planar=2 if (i // 11) % 4 == 1 else 1,
+                )
+            if fmt == "lossy-q12":
+                return codec.encode_lossy_q12(px)
+            if fmt == "png":
+                return codec.encode_png_u16(px)
+            return codec.encode_raw_u16(px)
+
+        # deterministic 12-bit pixels: shared gradient + per-image phase
+        base = (
+            np.add.outer(np.arange(h) * 13, np.arange(w) * 7) % 4096
+        ).astype(np.uint16)
+
+        def _synth(it):
+            for pdf in it:
+                ids = pdf["id"].to_numpy(np.int64)
+                rows = {"image_id": ids, "bytes": [], "w": w, "h": h,
+                        "fmt": []}
+                for i in ids:
+                    i = int(i)
+                    fmt = _fmt_for(i)
+                    px = ((base + (i * 2654435761) % 4096) % 4096).astype(
+                        np.uint16
+                    )
+                    rows["fmt"].append(fmt)
+                    rows["bytes"].append(_encode(px, i, fmt))
+                yield pd.DataFrame(rows)
+
+        t0 = time.time()
+        (
+            spark.range(n)
+            .repartition(int(CPUS) * 4)
+            .mapInPandas(
+                _synth, "image_id long, bytes binary, w int, h int, fmt string"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{work}/images")
+        )
+        rec["synth_write_sec"] = round(time.time() - t0, 3)
+        images = spark.read.parquet(f"{work}/images")
+        rec["fmt_mix"] = {
+            r["fmt"]: r["count"]
+            for r in images.groupBy("fmt").count().collect()
+        }
+        rec["parquet_mb"] = round(
+            sum(
+                f.stat().st_size
+                for f in Path(f"{work}/images").glob("*.parquet")
+            )
+            / 1e6,
+            1,
+        )
+
+        feats = resize_and_extract(images, 16, 12)
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        rec["map_stage_exchanges"] = plan.count("Exchange")
+
+        for name, df_fn in (
+            ("resize_extract", lambda: resize_and_extract(images, 16, 12)),
+            ("decode_stats", lambda: band_pixel_stats(
+                images.withColumn(
+                    "image_id", F.col("image_id").cast("string")
+                )
+            )),
+        ):
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                df_fn().write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            sec = min(runs)
+            rec[f"{name}_sec"] = round(sec, 3)
+            rec[f"{name}_img_per_sec"] = round(n / sec, 1)
+        rec["load_end"] = _load1()
+        print(json.dumps(rec))
+        mix = ", ".join(
+            f"{k} {v}" for k, v in sorted(rec["fmt_mix"].items())
+        )
+        with open(REPO / "BENCH.md", "a") as f:
+            f.write(
+                f"\n## Scaled multimodal arm "
+                f"({time.strftime('%Y-%m-%d %H:%M:%S')}, {n} images "
+                f"{w}x{h} u16, {rec['parquet_mb']} MB parquet, "
+                f"local[{CPUS}])\n\n"
+                f"| stage | wall sec | img/s |\n|---|---|---|\n"
+                f"| synth+encode+write (fixture cost, not engine) "
+                f"| {rec['synth_write_sec']} | - |\n"
+                f"| resize_and_extract (decode+resize+features, fused) "
+                f"| {rec['resize_extract_sec']} "
+                f"| {rec['resize_extract_img_per_sec']} |\n"
+                f"| band_pixel_stats (decode+integer stats, no resize) "
+                f"| {rec['decode_stats_sec']} "
+                f"| {rec['decode_stats_img_per_sec']} |\n\n"
+                f"Format mix (production rotation): {mix}. Map-stage "
+                f"plan Exchange count: {rec['map_stage_exchanges']} "
+                f"(payload never shuffles). min-of-2 per stage; loads "
+                f"{rec['load_start']} -> {rec['load_end']}.\n"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
@@ -1093,5 +1275,7 @@ if __name__ == "__main__":
         run_dedup_profile()
     elif "--ann-scale" in sys.argv:
         run_ann_scale()
+    elif "--multimodal-scale" in sys.argv:
+        run_multimodal_scale()
     else:
         run_default()

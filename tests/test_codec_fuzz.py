@@ -242,6 +242,56 @@ def test_fuzz_float_predictor3_classifies():
         assert survived < 120
 
 
+def test_fuzz_wav_classifies():
+    """The RIFF/WAVE parser (r7, raster/multimodal._decode_wav) gets the
+    same treatment as the image containers: 200 seeded mutants of a
+    valid mono + a stereo PCM-16 stream must return (sane mono array,
+    plausible rate) or classify as ValueError/NotImplementedError within
+    the time bound — no hang, no corrupt-chunk-size allocation (every
+    chunk size is bounded against the buffer before any read)."""
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        _decode_wav,
+        encode_wav_s16,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 2)
+    sine = (9000 * np.sin(2 * np.pi * 330 * t / sr)).astype("<i2")
+    stereo = np.empty(2 * len(sine), dtype="<i2")
+    stereo[0::2], stereo[1::2] = sine, sine // 2
+    for label, payload in [
+        ("wav-mono", encode_wav_s16(sine, sr)),
+        ("wav-stereo", encode_wav_s16(stereo, sr, n_ch=2)),
+    ]:
+        rng = np.random.default_rng(zlib.crc32(label.encode()))
+        survived = 0
+        for mutant in _mutations(payload, rng, 200):
+            old = signal.signal(
+                signal.SIGALRM,
+                lambda s, f: (_ for _ in ()).throw(_Timeout("hang")),
+            )
+            signal.alarm(DECODE_TIMEOUT_S)
+            try:
+                mono, rate = _decode_wav(mutant)
+            except (ValueError, NotImplementedError):
+                continue
+            except _Timeout:
+                pytest.fail(f"{label}: WAV decode hung on a mutant")
+            except MemoryError:
+                pytest.fail(f"{label}: unbounded allocation")
+            except Exception as e:  # noqa: BLE001
+                pytest.fail(
+                    f"{label}: unclassified {type(e).__name__}: {e}"
+                )
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+            assert mono.ndim == 1 and len(mono) <= len(payload)
+            assert 1 <= rate <= 10_000_000
+            survived += 1
+        assert survived < 200
+
+
 def test_differential_vs_pillow_if_available():
     """Where Pillow exists, stdlib decodes must agree with it: bit-exact
     for lossless containers, PSNR≥40 dB for JPEG (the lossy bound the
