@@ -148,6 +148,31 @@ def test_audio_wav_container(spark):
     assert r2 == sr and len(m2) == sr
 
 
+def test_batch_kernels_bit_identical_to_per_image():
+    """The r7 vectorized batch kernels (resize_bilinear_batch /
+    image_features_batch — one set of numpy calls per Arrow batch
+    instead of per image) must be BIT-identical to the per-image
+    oracles, including on resized outputs (the non-C-contiguous layout
+    a broadcast astype leaves behind flipped std's last ulp until the
+    kernels normalized to C order)."""
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        image_features_batch,
+        resize_bilinear_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(64, 64), (24, 32), (5, 7), (1, 9)]:
+        stack = rng.integers(0, 65536, (23, h, w)).astype(np.uint16)
+        rb = resize_bilinear_batch(stack, 16, 12)
+        fb = image_features_batch(stack)
+        fb_resized = image_features_batch(rb)
+        for k in range(len(stack)):
+            per = resize_bilinear_np(stack[k], 16, 12)
+            assert np.array_equal(rb[k], per)
+            assert tuple(fb[k]) == image_features_np(stack[k])
+            assert tuple(fb_resized[k]) == image_features_np(per)
+
+
 def test_multimodal_is_single_map_stage(spark, images):
     """No shuffle: resize+features chained is still exchanges-free."""
     out = extract_image_features(resize_images(images, 16, 12))

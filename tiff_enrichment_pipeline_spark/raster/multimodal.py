@@ -79,6 +79,99 @@ def image_features_np(img: np.ndarray) -> tuple[float, float, float, float]:
     )
 
 
+def resize_bilinear_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized twin of ``resize_bilinear_np`` over a (n, h, w) stack:
+    the same coefficient arrays and the same elementwise IEEE ops, so
+    each output image is BIT-IDENTICAL to the per-image kernel (pinned
+    in tests/test_multimodal.py). Exists because the per-image kernel's
+    cost at scale is ~0.07 ms of fixed numpy-call overhead per image —
+    ~6x the actual arithmetic (r7 --multimodal-scale attribution); one
+    set of numpy calls per batch amortizes it away."""
+    n, h, w = stack.shape
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    j0 = np.clip(np.floor(fy), 0, h - 2).astype(np.int64)
+    i0 = np.clip(np.floor(fx), 0, w - 2).astype(np.int64)
+    wy = np.clip(fy - j0, 0.0, 1.0)[:, None]
+    wx = np.clip(fx - i0, 0.0, 1.0)[None, :]
+    g = stack.astype(np.float64)
+    J0, I0 = j0[:, None], i0[None, :]
+    v00 = g[:, J0, I0]
+    v10 = g[:, J0, I0 + 1]
+    v01 = g[:, J0 + 1, I0]
+    v11 = g[:, J0 + 1, I0 + 1]
+    out = (1 - wy) * ((1 - wx) * v00 + wx * v10) + wy * (
+        (1 - wx) * v01 + wx * v11
+    )
+    # C-contiguous result, NOT astype's default order='K': the broadcast
+    # arithmetic above can leave a non-C layout, and downstream axis-1
+    # reductions (std) sum a non-C buffer in a different order — a
+    # last-ulp divergence from the per-image kernel (found by the
+    # fused≡chained pin when this kernel landed)
+    return np.ascontiguousarray(
+        np.clip(np.rint(out), 0, 65535).astype(np.uint16)
+    )
+
+
+def image_features_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized twin of ``image_features_np`` over (n, h, w): an
+    (n, 4) float64 array of (mean, std, p95, edge_energy). Each row
+    reduces the same contiguous per-image buffer the per-image kernel
+    reduces (axis-1 pairwise summation / per-row partition), so values
+    are bit-identical (pinned in tests)."""
+    n, h, w = stack.shape
+    # C-order normalization so every row reduces the same contiguous
+    # buffer the per-image kernel reduces (see resize_bilinear_batch)
+    g = np.ascontiguousarray(stack).astype(np.float64)
+    flat = g.reshape(n, -1)
+    dy = (
+        np.abs(np.diff(g, axis=1)).reshape(n, -1).mean(axis=1)
+        if h > 1
+        else np.zeros(n)
+    )
+    dx = (
+        np.abs(np.diff(g, axis=2)).reshape(n, -1).mean(axis=1)
+        if w > 1
+        else np.zeros(n)
+    )
+    return np.stack(
+        [
+            flat.mean(axis=1),
+            flat.std(axis=1),
+            np.percentile(flat, 95, axis=1),
+            dx + dy,
+        ],
+        axis=1,
+    )
+
+
+# bound the transient float64 stack a vectorized kernel materializes
+# (4096 images x 64x64 x 8 B ~ 134 MB per worker); Arrow batches are
+# 16384 rows, so a batch processes in a few chunks
+_BATCH_CHUNK = 4096
+
+
+def _decode_shape_groups(pdf: pd.DataFrame):
+    """Decode every payload in an Arrow batch and yield
+    ``(orig_row_indices, (k, h, w) uint16 stack)`` per decoded shape, in
+    chunks of at most _BATCH_CHUNK images. Real tables are shape-uniform
+    per partition, so this is normally one group; mixed shapes (e.g. a
+    table mid-migration) still vectorize per shape instead of falling
+    back to per-image calls."""
+    groups: dict[tuple[int, int], tuple[list[int], list[np.ndarray]]] = {}
+    for idx, (payload, w, h, fmt) in enumerate(
+        zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+    ):
+        img = codec.decode(bytes(payload), int(w), int(h), str(fmt))
+        ix, imgs = groups.setdefault(img.shape, ([], []))
+        ix.append(idx)
+        imgs.append(img)
+    for ix, imgs in groups.values():
+        for lo in range(0, len(ix), _BATCH_CHUNK):
+            hi = lo + _BATCH_CHUNK
+            yield np.asarray(ix[lo:hi]), np.stack(imgs[lo:hi])
+
+
 def _decode_video(payload: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
     if fmt != "rawvid-u16":
         raise NotImplementedError(
@@ -184,14 +277,11 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_bytes = []
-            for payload, w, h, fmt in zip(
-                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                img = codec.decode(bytes(payload), int(w), int(h), str(fmt))
-                out_bytes.append(
-                    codec.encode_raw_u16(resize_bilinear_np(img, out_w, out_h))
-                )
+            out_bytes: list = [None] * len(pdf)
+            for ix, stack in _decode_shape_groups(pdf):
+                resized = resize_bilinear_batch(stack, out_w, out_h)
+                for k, idx in enumerate(ix):
+                    out_bytes[idx] = codec.encode_raw_u16(resized[k])
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -219,13 +309,9 @@ def extract_image_features(images: DataFrame) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                image_features_np(
-                    codec.decode(bytes(p), int(w), int(h), str(f))
-                )
-                for p, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
-            ]
-            a = np.array(feats, dtype=np.float64).reshape(-1, 4)
+            a = np.empty((len(pdf), 4), dtype=np.float64)
+            for ix, stack in _decode_shape_groups(pdf):
+                a[ix] = image_features_batch(stack)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -252,17 +338,11 @@ def resize_and_extract(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                image_features_np(
-                    resize_bilinear_np(
-                        codec.decode(bytes(p), int(w), int(h), str(f)),
-                        out_w,
-                        out_h,
-                    )
+            a = np.empty((len(pdf), 4), dtype=np.float64)
+            for ix, stack in _decode_shape_groups(pdf):
+                a[ix] = image_features_batch(
+                    resize_bilinear_batch(stack, out_w, out_h)
                 )
-                for p, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
-            ]
-            a = np.array(feats, dtype=np.float64).reshape(-1, 4)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -299,27 +379,31 @@ def band_pixel_stats(images: DataFrame) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            mins, maxs, sums, sumsqs, ns = [], [], [], [], []
-            for payload, w, h, fmt in zip(
-                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                a = codec.decode(
-                    bytes(payload), int(w), int(h), str(fmt)
-                ).astype(np.int64)
-                mins.append(int(a.min()))
-                maxs.append(int(a.max()))
-                sums.append(int(a.sum()))
-                sumsqs.append(int((a * a).sum()))
-                ns.append(int(a.size))
+            m = len(pdf)
+            mins = np.empty(m, np.int32)
+            maxs = np.empty(m, np.int32)
+            sums = np.empty(m, np.int64)
+            sumsqs = np.empty(m, np.int64)
+            ns = np.empty(m, np.int64)
+            for ix, stack in _decode_shape_groups(pdf):
+                # integer reductions are order-insensitive — exact by
+                # construction, vectorized along axis 0
+                a = stack.astype(np.int64)
+                flat = a.reshape(len(ix), -1)
+                mins[ix] = flat.min(axis=1).astype(np.int32)
+                maxs[ix] = flat.max(axis=1).astype(np.int32)
+                sums[ix] = flat.sum(axis=1)
+                sumsqs[ix] = (flat * flat).sum(axis=1)
+                ns[ix] = flat.shape[1]
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "fmt": pdf["fmt"],
-                    "px_min": np.array(mins, dtype=np.int32),
-                    "px_max": np.array(maxs, dtype=np.int32),
-                    "px_sum": np.array(sums, dtype=np.int64),
-                    "px_sumsq": np.array(sumsqs, dtype=np.int64),
-                    "px_n": np.array(ns, dtype=np.int64),
+                    "px_min": mins,
+                    "px_max": maxs,
+                    "px_sum": sums,
+                    "px_sumsq": sumsqs,
+                    "px_n": ns,
                 }
             )
 
