@@ -1205,7 +1205,24 @@ def run_multimodal_scale() -> None:
         plan = feats._jdf.queryExecution().executedPlan().toString()
         rec["map_stage_exchanges"] = plan.count("Exchange")
 
+        def _passthrough(it):
+            # scan + Arrow transfer + pandas materialization of the
+            # payload column, NO decode/kernels — the floor every
+            # decode stage pays; lets the record attribute engine cost
+            # vs transport cost
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "image_id": pdf["image_id"],
+                        "n": [len(b) for b in pdf["bytes"]],
+                    }
+                )
+
+        sel = images.select("image_id", "bytes", "w", "h", "fmt")
         for name, df_fn in (
+            ("arrow_floor", lambda: sel.mapInPandas(
+                _passthrough, "image_id long, n long"
+            )),
             ("resize_extract", lambda: resize_and_extract(images, 16, 12)),
             ("decode_stats", lambda: band_pixel_stats(
                 images.withColumn(
@@ -1235,6 +1252,9 @@ def run_multimodal_scale() -> None:
                 f"| stage | wall sec | img/s |\n|---|---|---|\n"
                 f"| synth+encode+write (fixture cost, not engine) "
                 f"| {rec['synth_write_sec']} | - |\n"
+                f"| arrow floor (scan+transfer only, no decode) "
+                f"| {rec['arrow_floor_sec']} "
+                f"| {rec['arrow_floor_img_per_sec']} |\n"
                 f"| resize_and_extract (decode+resize+features, fused) "
                 f"| {rec['resize_extract_sec']} "
                 f"| {rec['resize_extract_img_per_sec']} |\n"

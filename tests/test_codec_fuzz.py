@@ -104,6 +104,14 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
                 compression="packbits",
             ),
         ),
+        (
+            "tiff-jpeg-color",
+            "tiff-rgb",
+            codec.encode_tiff_jpeg_color(
+                np.stack([px8, px8, px8], axis=-1).astype(np.uint8),
+                subsampling="420",
+            ),
+        ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
             "jpeg-prog",

@@ -999,3 +999,53 @@ def test_tiff_jpeg_in_tiff_roundtrips():
     bad = bytearray(enc)
     pat = (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
     assert bad.rfind(pat) != -1
+
+
+def test_tiff_jpeg_in_tiff_color_roundtrips():
+    """r7 COLOR JPEG-in-TIFF (Compression 7, PhotometricInterpretation 6
+    YCbCr — libtiff's COMPRESSION_JPEG+PHOTOMETRIC_YCBCR layout): each
+    strip/tile a baseline YCbCr stream, 4:4:4 / 4:2:2 / 4:2:0, shared
+    AND self-contained tables, strips of several heights, tiles,
+    BigTIFF. The engine's band contract for lossy RGB is the JPEG's own
+    luma plane, which must sit within PSNR>=40 dB of the exact integer
+    BT.601 luma of the source RGB. Planar color JPEG stays gated."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    y, x = np.mgrid[0:96, 0:80]
+    r = (128 + 60 * np.sin(x / 11.0)).astype(np.uint8)
+    g = (128 + 55 * np.cos(y / 9.0)).astype(np.uint8)
+    b = (128 + 40 * np.sin((x + y) / 13.0)).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    a32 = rgb.astype(np.uint32)
+    want = (
+        (299 * a32[..., 0] + 587 * a32[..., 1] + 114 * a32[..., 2]) // 1000
+    ).astype(np.uint16)
+
+    for sub in ("444", "422", "420"):
+        for tile in (None, 16):
+            for shared in (True, False):
+                for big in (False, True):
+                    enc = codec.encode_tiff_jpeg_color(
+                        rgb, quality=92, subsampling=sub, tile=tile,
+                        jpeg_tables=shared, bigtiff=big,
+                        rows_per_strip=40,
+                    )
+                    arr = codec.decode_tiff_rgb_luma(enc)
+                    assert arr.shape == (96, 80)
+                    assert arr.dtype == np.uint16
+                    p = codec.psnr_db(arr, want, peak=255)
+                    assert p >= 40.0, (sub, tile, shared, big, p)
+
+    # generic dispatch: fmt 'tiff-rgb' routes through the luma reducer
+    enc = codec.encode_tiff_jpeg_color(rgb, rows_per_strip=96)
+    out = codec.decode(enc, 80, 96, "tiff-rgb")
+    assert codec.psnr_db(out, want, peak=255) >= 40.0
+    # ... and fmt 'tiff' accepts the 2-D luma as a band
+    out2 = codec.decode(enc, 80, 96, "tiff")
+    assert np.array_equal(out, out2)
+    # truncation classifies
+    with pytest.raises(ValueError):
+        codec.decode(enc[: len(enc) // 3], 80, 96, "tiff-rgb")
+    # uint16 RGB input is not a valid color-JPEG source
+    with pytest.raises(ValueError):
+        codec.encode_tiff_jpeg_color(rgb.astype(np.uint16))

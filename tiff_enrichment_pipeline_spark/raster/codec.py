@@ -537,6 +537,45 @@ def encode_tiff_jpeg_gray(
     )
 
 
+def encode_tiff_jpeg_color(
+    rgb: np.ndarray,
+    *,
+    quality: int = 92,
+    rows_per_strip: int = 64,
+    jpeg_tables: bool = True,
+    subsampling: str = "444",
+    geo: dict | None = None,
+    tile: int | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """Color JPEG-in-TIFF (Compression 7, PhotometricInterpretation 6
+    YCbCr, r7): uint8 (h, w, 3) RGB, each strip/tile a baseline YCbCr
+    JPEG stream (4:4:4 / 4:2:2 / 4:2:0 via ``subsampling``), shared
+    tables in tag 347 when ``jpeg_tables`` — the layout libtiff writes
+    for COMPRESSION_JPEG + PHOTOMETRIC_YCBCR. The engine's decode
+    contract for this profile is the JPEG's own luma plane (the band
+    semantics of a lossy RGB container)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("rgb must be (h, w, 3)")
+    if rgb.dtype != np.uint8:
+        raise ValueError("color JPEG-in-TIFF samples must be uint8")
+    return _encode_tiff_int(
+        rgb.astype(np.uint16),
+        bits=8,
+        photometric=6,
+        compression="jpeg",
+        rows_per_strip=rows_per_strip,
+        predictor=1,
+        geo=geo,
+        level=6,
+        tile=tile,
+        bigtiff=bigtiff,
+        jpeg_quality=quality,
+        jpeg_shared_tables=jpeg_tables,
+        jpeg_subsampling=subsampling,
+    )
+
+
 def _encode_tiff_int(
     arr: np.ndarray,
     *,
@@ -551,6 +590,7 @@ def _encode_tiff_int(
     bigtiff: bool,
     jpeg_quality: int = 92,
     jpeg_shared_tables: bool = True,
+    jpeg_subsampling: str = "444",
     planar: int = 1,
 ) -> bytes:
     """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp).
@@ -583,10 +623,20 @@ def _encode_tiff_int(
         if comp_tag == 7:
             from tiff_enrichment_pipeline_spark.raster import jpeg as _jpeg
 
-            full = _jpeg.encode_jpeg_gray(
-                np.ascontiguousarray(s[:, :, 0]).astype(np.uint16),
-                quality=jpeg_quality,
-            )
+            if spp == 3:
+                # color JPEG-in-TIFF (r7): each chunk a YCbCr baseline
+                # stream (photometric 6) — the layout libtiff writes for
+                # COMPRESSION_JPEG + PHOTOMETRIC_YCBCR RGB input
+                full = _jpeg.encode_jpeg_color(
+                    np.ascontiguousarray(s).astype(np.uint8),
+                    quality=jpeg_quality,
+                    subsampling=jpeg_subsampling,
+                )
+            else:
+                full = _jpeg.encode_jpeg_gray(
+                    np.ascontiguousarray(s[:, :, 0]).astype(np.uint16),
+                    quality=jpeg_quality,
+                )
             if not jpeg_shared_tables:
                 return full
             tables, abbrev = _jpeg.split_tables(full)
@@ -843,12 +893,19 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if comp == 7:
         # new-style JPEG-in-TIFF (TIFF TechNote 2, r7): each strip/tile
         # is a (possibly abbreviated) JPEG stream, shared tables in tag
-        # 347. The stdlib JPEG decoder covers 8-bit gray; old-style
-        # Compression 6 and color JPEG-in-TIFF stay gated.
-        if spp != 1 or bits != 8 or sfmt != 1:
+        # 347 — 8-bit grayscale AND color (photometric 6 YCbCr, r7:
+        # each chunk decodes through the stdlib JPEG path straight to
+        # its luma plane, the engine's band contract for lossy RGB).
+        # Old-style Compression 6 stays gated.
+        if spp not in (1, 3) or bits != 8 or sfmt != 1:
             raise NotImplementedError(
-                f"JPEG-in-TIFF outside 8-bit grayscale "
+                f"JPEG-in-TIFF outside 8-bit gray/YCbCr "
                 f"(spp={spp}, bits={bits}, fmt={sfmt})"
+            )
+        if spp == 3 and planar != 1:
+            raise NotImplementedError(
+                "separate-plane (PlanarConfiguration 2) color "
+                "JPEG-in-TIFF not supported"
             )
         if pred != 1:
             raise NotImplementedError("predictor is invalid with JPEG")
@@ -966,7 +1023,9 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             axis=-1,
         )
     else:
-        arr = _assemble(offs, cnts, spp)
+        # comp 7 chunks decode straight to a single luma plane whatever
+        # the sample count (color collapses inside the JPEG decoder)
+        arr = _assemble(offs, cnts, 1 if comp == 7 else spp)
 
     meta: dict = {}
     if 33550 in tags:
@@ -1013,6 +1072,12 @@ def decode_tiff_rgb_luma(payload: bytes) -> np.ndarray:
     SQL-twin-able in DuckDB) and monotone in each channel; 16-bit RGB
     keeps full precision because the weighted sum fits u32."""
     arr = decode_geotiff(payload)[0]
+    if arr.ndim == 2 and arr.dtype == np.uint16:
+        # color JPEG-in-TIFF (Compression 7, photometric 6): the JPEG
+        # decoder already collapsed YCbCr to the luma plane — which IS
+        # the BT.601 luma this function computes for uncompressed RGB
+        # (same ITU-R 601 weights, DCT-lossy), so pass it through
+        return arr
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint16:
         raise ValueError(
             f"tiff-rgb payload is not 3-sample integer RGB "
