@@ -114,6 +114,16 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
         ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
+            "jpeg-12bit-color",
+            "jpeg",
+            jpeg.encode_jpeg_color_12bit(
+                np.stack([px >> 4, px >> 4, px >> 4], axis=-1).astype(
+                    np.uint16
+                ),
+                subsampling="420",
+            ),
+        ),
+        (
             "jpeg-prog",
             "jpeg",
             jpeg.encode_jpeg_gray_progressive(px8, quality=85),

@@ -1049,3 +1049,43 @@ def test_tiff_jpeg_in_tiff_color_roundtrips():
     # uint16 RGB input is not a valid color-JPEG source
     with pytest.raises(ValueError):
         codec.encode_tiff_jpeg_color(rgb.astype(np.uint16))
+
+
+def test_jpeg_12bit_color_roundtrip():
+    """r7 12-bit COLOR JPEG (SOF0 precision 12, 3 components): the
+    entropy/DCT path is precision-agnostic, so un-gating color at
+    12-bit only changes the level shift (2048) and output scaling
+    (12->16 replication). Own test encoder (Pq=1 16-bit DQTs x16,
+    per-file huffman reaching the 12-bit categories, luma + shared
+    chroma table pairs); decode emits 16-bit-replicated luma within
+    PSNR>=50 dB of the exact ITU-R 601 luma at 4:4:4/4:2:2/4:2:0.
+    Odd dimensions exercise partial MCUs."""
+    from tiff_enrichment_pipeline_spark.raster import codec, jpeg
+
+    for h, w in ((96, 80), (61, 83)):
+        y, x = np.mgrid[0:h, 0:w]
+        r = (2048 + 900 * np.sin(x / 11.0)).astype(np.uint16)
+        g = (2048 + 850 * np.cos(y / 9.0)).astype(np.uint16)
+        b = (2048 + 600 * np.sin((x + y) / 13.0)).astype(np.uint16)
+        rgb = np.stack([r, g, b], axis=-1)
+        lum12 = np.clip(
+            np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 4095
+        ).astype(np.uint16)
+        want16 = ((lum12 << 4) | (lum12 >> 8)).astype(np.float64)
+        for sub in ("444", "422", "420"):
+            enc = jpeg.encode_jpeg_color_12bit(rgb, quality=92,
+                                               subsampling=sub)
+            dec = jpeg.decode_jpeg_gray(enc)
+            assert dec.shape == (h, w) and dec.dtype == np.uint16
+            p = codec.psnr_db(dec.astype(np.float64), want16, peak=65535)
+            assert p >= 50.0, (h, w, sub, p)
+
+    # out-of-range samples are an encoder-contract error
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_color_12bit(
+            np.full((16, 16, 3), 4096, np.uint16)
+        )
+    # generic dispatch still classifies truncation
+    enc = jpeg.encode_jpeg_color_12bit(rgb, subsampling="420")
+    with pytest.raises(ValueError):
+        codec.decode(enc[: len(enc) // 2], 83, 61, "jpeg")

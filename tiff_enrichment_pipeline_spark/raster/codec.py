@@ -31,11 +31,12 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   Round 7 adds RGB (SamplesPerPixel 3, 8/16-bit, chunky AND separate
   PlanarConfiguration-2 planes; fmt ``tiff-rgb`` reduces via exact
   integer BT.601 luma), new-style JPEG-in-TIFF (Compression 7, tag
-  347 shared tables), PackBits (Compression 32773, §9 — a baseline-
-  reader requirement), float32 SampleFormat-3 rasters (the DEM source)
-  and float Predictor 3 (TechNote-3 byte shuffle, GDAL's compressed-
-  DEM default). Remaining exotic variants (old-style Compression-6
-  JPEG, color JPEG-in-TIFF, CMYK/extra-sample, predictor 3 on integer
+  347 shared tables — grayscale AND color: photometric-6 YCbCr chunks
+  decode straight to their luma plane), PackBits (Compression 32773,
+  §9 — a baseline-reader requirement), float32 SampleFormat-3 rasters
+  (the DEM source) and float Predictor 3 (TechNote-3 byte shuffle,
+  GDAL's compressed-DEM default). Remaining exotic variants (old-style
+  Compression-6 JPEG, CMYK/extra-sample, predictor 3 on integer
   samples) fall back to a Pillow-gated path and raise
   NotImplementedError when absent.
 
@@ -1282,8 +1283,8 @@ def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             # through to Pillow, which would mask corruption.
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # remaining exotic profiles (arithmetic coding, 12-bit
-            # color, non-integer sampling ratios, Adobe-RGB) → optional Pillow
+            # remaining exotic profiles (arithmetic coding,
+            # non-integer sampling ratios, Adobe-RGB) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",

@@ -21,8 +21,11 @@ quality/subsampling; pinned across shapes in tests) — and 12-BIT
 precision for grayscale (Pq=1 16-bit quant tables, per-file huffman
 tables reaching the 12-bit categories, 12→16-bit replication out, own
 test encoder), plus sampling factors up to the spec's 1-4 range
-(4:1:1 included). Arithmetic coding, 12-bit color and non-integer
-sampling ratios stay behind the optional Pillow gate in
+(4:1:1 included). Round 7 extends 12-bit precision to COLOR (YCbCr,
+the entropy/DCT path is precision-agnostic — only the level shift and
+output scaling differ; own test encoder `encode_jpeg_color_12bit`).
+Arithmetic coding and non-integer sampling ratios stay behind the
+optional Pillow gate in
 ``codec.decode`` — same policy as the remaining exotic TIFF variants
 (JPEG-in-TIFF, multi-sample).
 
@@ -429,10 +432,14 @@ def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
     )
 
 
-def _color_planes(rgb: np.ndarray, quality: int, subsampling: str):
+def _color_planes(
+    rgb: np.ndarray, quality: int, subsampling: str, center: float = 128.0
+):
     """RGB -> MCU-padded centered (Y, Cb, Cr) float planes + quant
     tables + sampling geometry (shared by the baseline and progressive
-    color encoders; float op order unchanged from the r5 baseline)."""
+    color encoders; float op order unchanged from the r5 baseline).
+    ``center``: the sample midpoint — 128 for 8-bit, 2048 for the
+    12-bit encoder (r7); the ITU-R 601 weights are range-agnostic."""
     h, w = rgb.shape[:2]
     factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
                "411": (4, 1)}
@@ -443,8 +450,8 @@ def _color_planes(rgb: np.ndarray, quality: int, subsampling: str):
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
     cb = _box_downsample(cb, hY, vY)
     cr = _box_downsample(cr, hY, vY)
     q_lum = _quant_table(quality)
@@ -458,7 +465,7 @@ def _color_planes(rgb: np.ndarray, quality: int, subsampling: str):
             np.pad(
                 p, ((0, PH - p.shape[0]), (0, PW - p.shape[1])), mode="edge"
             )
-            - 128.0
+            - center
         )
     return planes, q_lum, q_chr_nat, (hY, vY), mcux, mcuy
 
@@ -837,6 +844,92 @@ def encode_jpeg_gray_12bit(band: np.ndarray, quality: int = 92) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_color_12bit(
+    rgb: np.ndarray, quality: int = 92, subsampling: str = "444"
+) -> bytes:
+    """uint16 (h, w, 3) RGB with 12-bit samples (0..4095) -> 12-bit
+    sequential YCbCr interleaved JFIF (r7) — the test-vector source for
+    the 12-bit COLOR decode path (medical/remote-sensing writers emit
+    this profile). Same mechanics as the 8-bit color encoder with the
+    12-bit adaptations of encode_jpeg_gray_12bit: Pq=1 16-bit DQTs
+    scaled ×16, level shift 2048, and per-file Huffman tables from a
+    counting pass (Annex-K tables stop at category 11; 12-bit DC/AC
+    reach 15/14) — one DC/AC pair for luma (ids 0) and one shared by
+    both chroma components (ids 1)."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_jpeg_color_12bit expects (h, w, 3)")
+    if int(rgb.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    planes, q_lum, q_chr_nat, (hY, vY), mcux, mcuy = _color_planes(
+        rgb, quality, subsampling, center=2048.0
+    )
+    q_lum16 = q_lum.astype(np.int32) * 16
+    q_chr16 = q_chr_nat.astype(np.int32) * 16
+    samps = [(hY, vY), (1, 1), (1, 1)]
+    qs = [
+        q_lum16.reshape(8, 8).astype(np.float64),
+        q_chr16.reshape(8, 8).astype(np.float64),
+        q_chr16.reshape(8, 8).astype(np.float64),
+    ]
+
+    def scan(tbls, wtr):
+        prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    de, ae = tbls[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            py = (my * vi + byi) * 8
+                            px = (mx * hi + bxi) * 8
+                            prev[ci] = _encode_block(
+                                wtr,
+                                planes[ci][py : py + 8, px : px + 8],
+                                qs[ci], de, ae, prev[ci],
+                            )
+
+    lum_dc, lum_ac = _SymbolRecorder(), _SymbolRecorder()
+    chr_dc, chr_ac = _SymbolRecorder(), _SymbolRecorder()
+    scan([(lum_dc, lum_ac), (chr_dc, chr_ac), (chr_dc, chr_ac)],
+         _BitWriter())
+    ldc_b, ldc_v = _fixed_len_table(lum_dc.used)
+    lac_b, lac_v = _fixed_len_table(lum_ac.used)
+    cdc_b, cdc_v = _fixed_len_table(chr_dc.used)
+    cac_b, cac_v = _fixed_len_table(chr_ac.used)
+    wtr = _BitWriter()
+    scan(
+        [
+            (_build_codes(ldc_b, ldc_v), _build_codes(lac_b, lac_v)),
+            (_build_codes(cdc_b, cdc_v), _build_codes(cac_b, cac_v)),
+            (_build_codes(cdc_b, cdc_v), _build_codes(cac_b, cac_v)),
+        ],
+        wtr,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q16 in ((0, q_lum16), (1, q_chr16)):
+        out += _seg(
+            0xFFDB,
+            bytes([0x10 | tid])
+            + b"".join(struct.pack(">H", int(x)) for x in q16[_ZIGZAG]),
+        )
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 12, h, w, 3)
+        + bytes([1, (hY << 4) | vY, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(ldc_b) + bytes(ldc_v))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(lac_b) + bytes(lac_v))
+    out += _seg(0xFFC4, bytes([0x01]) + bytes(cdc_b) + bytes(cdc_v))
+    out += _seg(0xFFC4, bytes([0x11]) + bytes(cac_b) + bytes(cac_v))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_color_progressive(
     rgb: np.ndarray,
     quality: int = 92,
@@ -1187,7 +1280,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     4:2:0, 4:4:0), plus restart intervals (DRI/RSTn); color output is
     converted to ITU-R 601 luma because the engine's band contract is
     grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
-    decode, at 8-bit precision (gray + YCbCr) or 12-bit (gray); raises
+    decode, at 8-bit or 12-bit precision (gray + YCbCr); raises
     NotImplementedError for the remaining profiles (arithmetic coding,
     12-bit color, non-integer sampling ratios, and Adobe-RGB streams whose
     APP14 declares transform 0) — the ``codec.decode`` dispatch routes
@@ -1248,10 +1341,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     f"jpeg with {ncomp} components: only grayscale and "
                     "YCbCr supported by the stdlib path"
                 )
-            if prec == 12 and ncomp != 1:
-                raise NotImplementedError(
-                    "12-bit jpeg decodes stdlib-side for grayscale only"
-                )
+            # r7: 12-bit decodes for BOTH grayscale and YCbCr — the
+            # entropy/DCT path is precision-agnostic; only the level
+            # shift and output scaling differ (_finish_jpeg_planes)
             sample_prec = prec
             comps = []
             for ci in range(ncomp):
@@ -1481,16 +1573,22 @@ def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
     # the Pillow fallback's convert('L'): chroma upsampling above is
     # nearest-neighbor replication while libjpeg uses fancy (interpolated)
     # upsampling, so subsampled payloads agree only to ~PSNR>=40dB (the
-    # test gate), NOT bit-exactly; 4:4:4 and grayscale are exact
-    y = full[0] + 128.0
+    # test gate), NOT bit-exactly; 4:4:4 and grayscale are exact.
+    # r7: range-generalized — the 601 matrix is precision-agnostic, only
+    # the midpoint/clip bound and output scaling depend on prec (8-bit
+    # full range 255, 12-bit 4095).
+    center, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+    y = full[0] + center
     cb = full[1]
     cr = full[2]
-    rr = np.clip(np.round(y + 1.402 * cr), 0, 255)
-    gg = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    bb = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    rr = np.clip(np.round(y + 1.402 * cr), 0, maxv)
+    gg = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, maxv)
+    bb = np.clip(np.round(y + 1.772 * cb), 0, maxv)
     luma = np.clip(
-        np.round(0.299 * rr + 0.587 * gg + 0.114 * bb), 0, 255
+        np.round(0.299 * rr + 0.587 * gg + 0.114 * bb), 0, maxv
     ).astype(np.uint16)
+    if prec == 12:
+        return (luma << 4) | (luma >> 8)
     return luma * 257
 
 
