@@ -770,8 +770,11 @@ def test_jpeg_12bit_gray():
 
 def test_jpeg_sampling_factor_4():
     """T.81 allows sampling factors 1-4; r6 lifts the 1-2 gate: 4:1:1
-    roundtrips (baseline and progressive bit-identical), while
-    non-integer ratios (3 vs 2) stay gated."""
+    roundtrips (baseline and progressive bit-identical). r7 lifts the
+    non-integer-ratio gate too (see
+    test_jpeg_noninteger_sampling_ratios); a 422 stream whose SOF is
+    hand-patched to claim 3x1/2x1 now classifies as CORRUPT (the
+    entropy layout can't match the forged geometry) instead of gated."""
     from tiff_enrichment_pipeline_spark.raster import jpeg
 
     yy, xx = np.mgrid[0:64, 0:64]
@@ -788,13 +791,14 @@ def test_jpeg_sampling_factor_4():
         jpeg.encode_jpeg_color_progressive(rgb, quality=92, subsampling="411")
     )
     assert np.array_equal(prog, base)
-    # 3x1 luma vs 2x1... craft non-integer ratio: patch Y sampling to 3
+    # forge a 3x1/2x1 geometry onto 422-encoded entropy data: the r7
+    # index-map upsampler accepts the RATIO, so the mismatch now
+    # surfaces as entropy desync -> classified corrupt (ValueError)
     enc = bytearray(jpeg.encode_jpeg_color(rgb, quality=92, subsampling="422"))
     j = enc.find(b"\xff\xc0")
-    enc[j + 11] = 0x31  # Y h=3,v=1 against chroma 1x1 -> ratio 3 (int, fine)
-    # ratio 3 IS integer; force non-integer: chroma 2x1 under Y 3x1
-    enc[j + 14] = 0x21
-    with pytest.raises(NotImplementedError, match="non-integer"):
+    enc[j + 11] = 0x31  # Y h=3,v=1
+    enc[j + 14] = 0x21  # Cb h=2,v=1 -> ratio 1.5 vs the 2x1 bitstream
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray(bytes(enc))
 
 def test_tiff_rgb_roundtrips_and_luma():
@@ -1089,3 +1093,47 @@ def test_jpeg_12bit_color_roundtrip():
     enc = jpeg.encode_jpeg_color_12bit(rgb, subsampling="420")
     with pytest.raises(ValueError):
         codec.decode(enc[: len(enc) // 2], 83, 61, "jpeg")
+
+
+def test_jpeg_noninteger_sampling_ratios():
+    """r7: T.81 A.1.1 allows any h_i/v_i in 1..4, including combinations
+    where hmax/h_i is fractional (Y 3x1 with Cb 2x1 -> Cb upsamples by
+    1.5). The decoder's index-map upsampler handles these (and is
+    bit-identical to the old integer replication when ratios divide);
+    own explicit-factors test encoder. Odd dims exercise partial MCUs
+    and the A.1.1 ceil sample grid."""
+    from tiff_enrichment_pipeline_spark.raster import codec, jpeg
+
+    y, x = np.mgrid[0:61, 0:83]
+    r = (128 + 60 * np.sin(x / 11.0)).astype(np.uint8)
+    g = (128 + 55 * np.cos(y / 9.0)).astype(np.uint8)
+    b = (128 + 40 * np.sin((x + y) / 13.0)).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    a = rgb.astype(np.float64)
+    lum = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    for fac in (
+        ((3, 1), (2, 1), (1, 1)),   # horizontal 1.5x chroma ratio
+        ((1, 3), (1, 2), (1, 1)),   # vertical twin
+        ((4, 1), (3, 1), (2, 1)),   # 4/3 and 2x mixed
+        ((3, 3), (2, 2), (1, 1)),   # fractional both axes
+    ):
+        enc = jpeg.encode_jpeg_color_factors(rgb, quality=92, factors=fac)
+        dec = (jpeg.decode_jpeg_gray(enc) >> 8).astype(np.float64)
+        p = codec.psnr_db(dec, lum, peak=255)
+        assert p >= 40.0, (fac, p)
+    # integer-ratio stream through the new upsampler still matches the
+    # dedicated-subsampling encoder's output closely (same pipeline)
+    d1 = jpeg.decode_jpeg_gray(
+        jpeg.encode_jpeg_color(rgb, quality=92, subsampling="422")
+    )
+    d2 = jpeg.decode_jpeg_gray(
+        jpeg.encode_jpeg_color_factors(
+            rgb, quality=92, factors=((2, 1), (1, 1), (1, 1))
+        )
+    )
+    assert codec.psnr_db(
+        d1.astype(np.float64), d2.astype(np.float64), peak=65535
+    ) >= 50.0
+    # factor 5 is outside T.81's 1-4 range
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_color_factors(rgb, factors=((5, 1), (1, 1), (1, 1)))

@@ -1284,7 +1284,7 @@ def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
             # remaining exotic profiles (arithmetic coding,
-            # non-integer sampling ratios, Adobe-RGB) → optional Pillow
+            # Adobe-RGB) → optional Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",

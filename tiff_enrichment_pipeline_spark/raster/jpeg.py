@@ -24,8 +24,9 @@ test encoder), plus sampling factors up to the spec's 1-4 range
 (4:1:1 included). Round 7 extends 12-bit precision to COLOR (YCbCr,
 the entropy/DCT path is precision-agnostic — only the level shift and
 output scaling differ; own test encoder `encode_jpeg_color_12bit`).
-Arithmetic coding and non-integer sampling ratios stay behind the
-optional Pillow gate in
+Round 7 also removes the non-integer sampling-ratio gate (index-map
+upsampler; Y 3x1 / Cb 2x1-style streams are legal per A.1.1). Only
+arithmetic coding stays behind the optional Pillow gate in
 ``codec.decode`` — same policy as the remaining exotic TIFF variants
 (JPEG-in-TIFF, multi-sample).
 
@@ -540,6 +541,92 @@ def encode_jpeg_color(
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_factors(
+    rgb: np.ndarray,
+    quality: int = 92,
+    factors: tuple = ((2, 1), (1, 1), (1, 1)),
+) -> bytes:
+    """Baseline YCbCr encoder with EXPLICIT per-component sampling
+    factors (r7) — the test-vector source for the non-integer-ratio
+    decode path: T.81 A.1.1 allows any h_i, v_i in 1..4, so e.g.
+    Y 3x1 / Cb 2x1 / Cr 1x1 (Cb upsample ratio 1.5) is a legal stream
+    that integer-replication decoders reject. Component planes are
+    nearest-sample downsampled to ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
+    (A.1.1's sample grid), MCU-padded, and interleaved exactly like
+    encode_jpeg_color; luma quant/huffman tables for Y, Annex-K
+    chrominance tables for Cb/Cr."""
+    h, w, nc = rgb.shape
+    if nc != 3 or len(factors) != 3:
+        raise ValueError("expects (h, w, 3) rgb and 3 factor pairs")
+    for hi, vi in factors:
+        if not (1 <= hi <= 4) or not (1 <= vi <= 4):
+            raise ValueError(f"sampling factor {hi}x{vi} outside 1-4")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    ycc = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    q_lum = _quant_table(quality)
+    q_chr = _quant_table(quality, base=_Q_CHR)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for p, (hi, vi) in zip(ycc, factors):
+        cw, ch = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        # nearest-sample downsample onto the A.1.1 grid (handles
+        # fractional hmax/hi); identity when hi == hmax
+        ys = np.minimum((np.arange(ch) * vmax) // vi, h - 1)
+        xs = np.minimum((np.arange(cw) * hmax) // hi, w - 1)
+        p = p[ys][:, xs]
+        PH, PW = mcuy * vi * 8, mcux * hi * 8
+        planes.append(
+            np.pad(p, ((0, PH - ch), (0, PW - cw)), mode="edge") - 128.0
+        )
+    qs = [q_lum.reshape(8, 8), q_chr.reshape(8, 8), q_chr.reshape(8, 8)]
+    dcs = [(_DC_ENC, _AC_ENC), (_CHR_DC_ENC, _CHR_AC_ENC),
+           (_CHR_DC_ENC, _CHR_AC_ENC)]
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(factors):
+                de, ae = dcs[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        prev[ci] = _encode_block(
+                            writer,
+                            planes[ci][py : py + 8, px : px + 8],
+                            qs[ci], de, ae, prev[ci],
+                        )
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q_lum[_ZIGZAG]))
+    out += _seg(0xFFDB, bytes([1]) + bytes(int(x) for x in q_chr[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hi, vi), tq in zip((1, 2, 3), factors, (0, 1, 1)):
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(
+        0xFFC4, bytes([0x01]) + bytes(_DC_CHR_BITS) + bytes(_DC_CHR_VALS)
+    )
+    out += _seg(
+        0xFFC4, bytes([0x11]) + bytes(_AC_CHR_BITS) + bytes(_AC_CHR_VALS)
+    )
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1282,7 +1369,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
     decode, at 8-bit or 12-bit precision (gray + YCbCr); raises
     NotImplementedError for the remaining profiles (arithmetic coding,
-    12-bit color, non-integer sampling ratios, and Adobe-RGB streams whose
+    and Adobe-RGB streams whose
     APP14 declares transform 0) — the ``codec.decode`` dispatch routes
     those to the optional Pillow path.
     """
@@ -1361,14 +1448,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         "1-4 per axis"
                     )
                 comps.append((cid, hi, vi, tq))
-            hmax_s = max(c[1] for c in comps)
-            vmax_s = max(c[2] for c in comps)
-            if any(hmax_s % c[1] or vmax_s % c[2] for c in comps):
-                # 3:1-style ratios need fractional upsampling; the
-                # replication upsampler handles integer ratios only
-                raise NotImplementedError(
-                    "jpeg non-integer sampling ratio between components"
-                )
+            # r7: non-integer sampling ratios (e.g. Y 3x1 with Cb 2x1,
+            # legal per T.81 A.1.1) decode via the index-map upsampler
+            # in _finish_jpeg_planes — no gate needed; block geometry
+            # (_comp_geometry) was already general ceil arithmetic
             if ncomp == 3 and {c[0] for c in comps} == {82, 71, 66}:
                 # component ids 'R','G','B': raw-RGB stream (no color
                 # transform) — same gate as APP14 transform=0
@@ -1559,9 +1642,13 @@ def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
     for ci, (_, hi, vi, _) in enumerate(comps):
         p = planes[ci]
         if hi < hmax:
-            p = np.repeat(p, hmax // hi, axis=1)
+            # index-map upsample: for integer ratios this reproduces
+            # np.repeat bit-for-bit ((j*hi)//hmax == j//(hmax//hi));
+            # for NON-integer ratios (r7 — e.g. Y 3x1 with Cb 2x1,
+            # legal per T.81 A.1.1) it is the nearest-sample mapping
+            p = p[:, (np.arange(p.shape[1] * hmax // hi) * hi) // hmax]
         if vi < vmax:
-            p = np.repeat(p, vmax // vi, axis=0)
+            p = p[(np.arange(p.shape[0] * vmax // vi) * vi) // vmax, :]
         full.append(p[:h, :w])
     if ncomp == 1:
         center, maxv = 1 << (prec - 1), (1 << prec) - 1
