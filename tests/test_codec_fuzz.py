@@ -260,6 +260,55 @@ def test_fuzz_float_predictor3_classifies():
         assert survived < 120
 
 
+def test_fuzz_flac_classifies():
+    """The r7 stdlib FLAC decoder gets the image-container treatment:
+    200 seeded mutants each of a mono fixed-predictor stream and a
+    mid/side stereo stream must decode to sane samples or classify
+    (ValueError/NotImplementedError) within the time bound. CRC-8/16
+    verification means virtually every body flip classifies instead of
+    desyncing silently."""
+    from tiff_enrichment_pipeline_spark.raster.flac import (
+        decode_flac,
+        encode_flac_s16,
+    )
+
+    sr = 8000
+    t = np.arange(3000)
+    sine = (9000 * np.sin(2 * np.pi * 330 * t / sr)).astype(np.int16)
+    stereo = np.stack([sine, (sine // 3)], axis=1)
+    for label, payload in [
+        ("flac-mono", encode_flac_s16(sine, sr, block_size=1024)),
+        ("flac-ms", encode_flac_s16(stereo, sr, block_size=777,
+                                    mid_side=True)),
+    ]:
+        rng = np.random.default_rng(zlib.crc32(label.encode()))
+        survived = 0
+        for mutant in _mutations(payload, rng, 200):
+            old = signal.signal(
+                signal.SIGALRM,
+                lambda s, f: (_ for _ in ()).throw(_Timeout("hang")),
+            )
+            signal.alarm(DECODE_TIMEOUT_S)
+            try:
+                arr, rate, bps = decode_flac(mutant)
+            except (ValueError, NotImplementedError):
+                continue
+            except _Timeout:
+                pytest.fail(f"{label}: FLAC decode hung on a mutant")
+            except MemoryError:
+                pytest.fail(f"{label}: unbounded allocation")
+            except Exception as e:  # noqa: BLE001
+                pytest.fail(
+                    f"{label}: unclassified {type(e).__name__}: {e}"
+                )
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+            assert arr.ndim == 2 and 1 <= rate <= 655350 and bps <= 32
+            survived += 1
+        assert survived < 200
+
+
 def test_fuzz_wav_classifies():
     """The RIFF/WAVE parser (r7, raster/multimodal._decode_wav) gets the
     same treatment as the image containers: 200 seeded mutants of a

@@ -240,3 +240,48 @@ def test_jpeg_payloads_flow_through_multimodal(spark):
         m, s, p95, e = image_features_np(decoded)
         assert out[i]["px_mean"] == pytest.approx(m)
         assert out[i]["px_std"] == pytest.approx(s)
+
+
+def test_audio_flac_container(spark):
+    """r7 'flac' fmt: REAL stdlib FLAC decode — a flac row's features
+    match the headerless pcm-s16le row EXACTLY (lossless), the
+    container rate wins over a lying column, mid/side stereo
+    reconstructs bit-exact, and damage classifies (CRC mismatch /
+    truncation -> ValueError)."""
+    import pytest as _pytest
+
+    from tiff_enrichment_pipeline_spark.raster.flac import (
+        decode_flac,
+        encode_flac_s16,
+    )
+
+    sr = 16000
+    t = np.arange(sr)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    flac = encode_flac_s16(sine, sr, block_size=1024)
+    rows = [
+        (1, sine.tobytes(), sr, "pcm-s16le"),
+        (2, flac, 8000, "flac"),  # column LIES; container 16000 governs
+    ]
+    df = spark.createDataFrame(
+        rows, "audio_id long, bytes binary, sample_rate int, fmt string"
+    )
+    got = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[2]["duration_s"] == pytest.approx(1.0)
+    assert got[2]["rms"] == pytest.approx(got[1]["rms"])
+    assert got[2]["zero_crossings"] == got[1]["zero_crossings"]
+
+    # stereo mid/side roundtrip is bit-exact
+    st = np.stack([sine, (-0.5 * sine).astype(np.int16)], axis=1)
+    dec, rate, bps = decode_flac(encode_flac_s16(st, sr, mid_side=True))
+    assert rate == sr and bps == 16 and np.array_equal(dec, st)
+
+    # truncation ladder classifies — never hangs, never returns garbage
+    for cut in range(4, len(flac), max(1, len(flac) // 48)):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(flac[:cut])
+    # one flipped byte inside a frame body -> CRC-16 catches it
+    bad = bytearray(flac)
+    bad[-40] ^= 0x55
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))

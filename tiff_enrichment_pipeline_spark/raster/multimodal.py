@@ -21,10 +21,12 @@ Formats (see raster/codec.py for the image ones):
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian (headerless; the
-  table's sample_rate column governs) and ``wav`` (r7) — REAL
-  RIFF/WAVE integer-PCM-16 container parse, any plausible channel
-  count mixed down by mean, the container's own rate wins; flac/mp3 →
-  NotImplementedError
+  table's sample_rate column governs), ``wav`` (r7) — REAL RIFF/WAVE
+  integer-PCM-16 container parse, any plausible channel count mixed
+  down by mean, the container's own rate wins — and ``flac`` (r7) —
+  REAL stdlib FLAC decode (raster/flac.py: CRC-verified frames,
+  CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
+  decorrelation); mp3 → NotImplementedError
 
 Scale shape: each operator is a pure map stage — no shuffle, no driver
 action; payload columns are pruned away by Catalyst for any query that
@@ -257,9 +259,22 @@ def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int | None]:
         return np.frombuffer(payload, dtype="<i2").astype(np.float64), None
     if fmt == "wav":
         return _decode_wav(payload)
+    if fmt == "flac":
+        # r7: real stdlib FLAC decode (raster/flac.py — CRC-verified
+        # frames, fixed+LPC predictors, stereo decorrelation); the
+        # container's own rate wins like wav
+        from tiff_enrichment_pipeline_spark.raster.flac import decode_flac
+
+        x, rate, _bps = decode_flac(payload)
+        mono = (
+            x.mean(axis=1, dtype=np.float64)
+            if x.shape[1] > 1
+            else x[:, 0].astype(np.float64)
+        )
+        return mono, rate
     raise NotImplementedError(
         f"audio codec {fmt!r} requires an external library (not in this "
-        "container); use pcm-s16le or wav, or ship a decoder via "
+        "container); use pcm-s16le, wav or flac, or ship a decoder via "
         "--py-files env"
     )
 
