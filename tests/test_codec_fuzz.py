@@ -112,6 +112,21 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
                 subsampling="420",
             ),
         ),
+        (
+            "tiff-rgba",
+            "tiff-rgb",
+            codec.encode_tiff_rgba(
+                np.stack([px8, px8, px8, px8], axis=-1).astype(np.uint8),
+                compression="lzw",
+            ),
+        ),
+        (
+            "tiff-cmyk",
+            "tiff-rgb",
+            codec.encode_tiff_cmyk(
+                np.stack([px8, px8, px8, px8], axis=-1).astype(np.uint8),
+            ),
+        ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
             "jpeg-12bit-color",

@@ -292,9 +292,11 @@ def test_geotiff_tags_roundtrip_and_guards():
     assert meta["origin"] == (5.1234, 52.9876)
     assert meta["tiepoint"] == (0.0, 0.0, 0.0, 5.1234, 52.9876, 0.0)
     assert (meta["epsg"], meta["model_type"], meta["raster_type"]) == (4326, 2, 1)
-    # plain tiff → no geo keys
+    # plain tiff → no GEO keys (late r7: meta always carries the
+    # container's photometric/bits so the luma reducer can pick the
+    # CMYK transform range without re-parsing)
     _, meta0 = codec.decode_geotiff(codec.encode_tiff_u16(band))
-    assert meta0 == {}
+    assert meta0 == {"photometric": 1, "bits": 16}
 
     with pytest.raises(ValueError):
         codec.decode_tiff_u16(b"NOTATIFF")
@@ -1137,3 +1139,56 @@ def test_jpeg_noninteger_sampling_ratios():
     # factor 5 is outside T.81's 1-4 range
     with pytest.raises(ValueError):
         jpeg.encode_jpeg_color_factors(rgb, factors=((5, 1), (1, 1), (1, 1)))
+
+
+def test_tiff_rgba_and_cmyk_luma():
+    """Late-r7 4-sample TIFFs: RGBA (photometric 2 + ExtraSamples 338,
+    alpha ignored by the luma reducer) and CMYK (photometric 5, exact
+    integer ink->RGB per TIFF6 §16 before BT.601) — both 8- and 16-bit,
+    across compression/tile/planar variants, all integer-EXACT. A
+    4-sample file with any other photometric classifies as unsupported
+    rather than misdecoding."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    rng = np.random.default_rng(7)
+    for dt, maxv in ((np.uint8, 255), (np.uint16, 65535)):
+        rgba = rng.integers(0, maxv + 1, (48, 40, 4)).astype(dt)
+        a = rgba.astype(np.uint64)
+        want = (
+            (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        ).astype(np.uint16)
+        for kw in (
+            dict(),
+            dict(compression="lzw"),
+            dict(tile=16),
+            dict(planar=2, compression="packbits"),
+            dict(bigtiff=True),
+        ):
+            enc = codec.encode_tiff_rgba(rgba, **kw)
+            assert np.array_equal(codec.decode_tiff_rgb_luma(enc), want)
+
+        cmyk = rng.integers(0, maxv + 1, (48, 40, 4)).astype(dt)
+        c = cmyk.astype(np.uint64)
+        rgb = np.stack(
+            [
+                (maxv - c[..., 0]) * (maxv - c[..., 3]) // maxv,
+                (maxv - c[..., 1]) * (maxv - c[..., 3]) // maxv,
+                (maxv - c[..., 2]) * (maxv - c[..., 3]) // maxv,
+            ],
+            axis=-1,
+        )
+        want_c = (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2])
+            // 1000
+        ).astype(np.uint16)
+        enc = codec.encode_tiff_cmyk(cmyk, compression="deflate")
+        assert np.array_equal(codec.decode_tiff_rgb_luma(enc), want_c)
+
+    # 4-sample + palette photometric -> gated, not garbage
+    bad = bytearray(
+        codec.encode_tiff_cmyk(rng.integers(0, 256, (16, 16, 4)).astype(np.uint8))
+    )
+    i = bad.find((262).to_bytes(2, "little"))
+    bad[i + 8] = 3
+    with pytest.raises(NotImplementedError):
+        codec.decode_tiff_rgb_luma(bytes(bad))

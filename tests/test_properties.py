@@ -120,7 +120,8 @@ def test_tiff_roundtrip_property(w, h, seed, comp, rps, pred, with_geo):
     if with_geo:
         assert meta["origin"] == (5.5, 52.5) and meta["epsg"] == 4326
     else:
-        assert meta == {}
+        # late r7: photometric/bits always present; no GEO keys
+        assert meta == {"photometric": 1, "bits": 16}
 
 
 @settings(max_examples=30, deadline=None)

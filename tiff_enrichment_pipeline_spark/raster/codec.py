@@ -35,10 +35,12 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   decode straight to their luma plane), PackBits (Compression 32773,
   §9 — a baseline-reader requirement), float32 SampleFormat-3 rasters
   (the DEM source) and float Predictor 3 (TechNote-3 byte shuffle,
-  GDAL's compressed-DEM default). Remaining exotic variants (old-style
-  Compression-6 JPEG, CMYK/extra-sample, predictor 3 on integer
-  samples) fall back to a Pillow-gated path and raise
-  NotImplementedError when absent.
+  GDAL's compressed-DEM default). Late r7 adds 4-sample containers:
+  RGBA (photometric 2 + ExtraSamples 338 — the luma reducer ignores
+  alpha) and CMYK (photometric 5, exact integer ink→RGB per §16).
+  Remaining exotic variants (old-style Compression-6 JPEG, palette,
+  predictor 3 on integer samples) fall back to a Pillow-gated path and
+  raise NotImplementedError when absent.
 
 PSNR (peak 65535) is the per-row invariant from BASELINE.json input_hint:
 decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
@@ -504,6 +506,79 @@ def encode_tiff_rgb(
     )
 
 
+def encode_tiff_rgba(
+    img: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    predictor: int = 2,
+    tile: int | None = None,
+    bigtiff: bool = False,
+    planar: int = 1,
+) -> bytes:
+    """RGBA TIFF (late r7): (h, w, 4) uint8/uint16, photometric 2 with
+    one unassociated-alpha extra sample (ExtraSamples tag 338 = [2] —
+    the layout screenshots and processed rasters routinely carry). The
+    fmt='tiff-rgb' luma reducer ignores the alpha plane."""
+    if img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError("img must be (h, w, 4)")
+    if img.dtype == np.uint8:
+        bits = 8
+    elif img.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError(f"RGBA dtype must be uint8/uint16, got {img.dtype}")
+    return _encode_tiff_int(
+        img,
+        bits=bits,
+        photometric=2,
+        compression=compression,
+        rows_per_strip=rows_per_strip,
+        predictor=predictor,
+        geo=None,
+        level=6,
+        tile=tile,
+        bigtiff=bigtiff,
+        planar=planar,
+        extra_tags=[(338, _T_SHORT, [2])],  # unassociated alpha
+    )
+
+
+def encode_tiff_cmyk(
+    img: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    predictor: int = 2,
+    tile: int | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """CMYK TIFF (late r7): (h, w, 4) uint8/uint16 ink values,
+    PhotometricInterpretation 5 (TIFF6 §16 'Separated'). The
+    fmt='tiff-rgb' reducer converts ink→RGB with the exact integer
+    transform before the BT.601 luma."""
+    if img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError("img must be (h, w, 4)")
+    if img.dtype == np.uint8:
+        bits = 8
+    elif img.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError(f"CMYK dtype must be uint8/uint16, got {img.dtype}")
+    return _encode_tiff_int(
+        img,
+        bits=bits,
+        photometric=5,
+        compression=compression,
+        rows_per_strip=rows_per_strip,
+        predictor=predictor,
+        geo=None,
+        level=6,
+        tile=tile,
+        bigtiff=bigtiff,
+    )
+
+
 def encode_tiff_jpeg_gray(
     band: np.ndarray,
     *,
@@ -593,6 +668,7 @@ def _encode_tiff_int(
     jpeg_shared_tables: bool = True,
     jpeg_subsampling: str = "444",
     planar: int = 1,
+    extra_tags: list | tuple = (),
 ) -> bytes:
     """Shared integer-sample TIFF writer: ``arr`` is (h, w, spp).
     ``planar=1`` interleaves channels chunky in each strip/tile (the
@@ -714,6 +790,7 @@ def _encode_tiff_int(
         (277, _T_SHORT, [spp]),
         (339, _T_SHORT, [1] * spp),  # unsigned integer samples
     ]
+    tags += [tuple(t) for t in extra_tags]
     if spp > 1:
         tags.append((284, _T_SHORT, [planar]))  # 1=chunky, 2=planar
     if tile is None:
@@ -875,16 +952,25 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     is_float = sfmt == 3
     if planar not in (1, 2):
         raise ValueError(f"TIFF PlanarConfiguration {planar} invalid")
-    if spp == 3:
+    photo = tags.get(262, [1])[0]
+    if spp in (3, 4):
         # RGB (r7 — the reference's `regular_tiff` bucket, main.py:50-108
         # classifies ordinary RGB TIFFs): chunky interleaved (planar 1)
-        # and separate-plane (planar 2) layouts both decode
+        # and separate-plane (planar 2) layouts both decode. Late r7
+        # extends to spp=4: RGBA (photometric 2 + one extra sample,
+        # tag 338 — alpha is carried through and ignored by the luma
+        # reducer) and CMYK (photometric 5, ink values).
         if sfmt != 1 or bits not in (8, 16) or any(
             b != bits for b in bits_v
         ):
             raise NotImplementedError(
-                f"RGB TIFF outside uniform 8/16-bit unsigned "
+                f"RGB/RGBA/CMYK TIFF outside uniform 8/16-bit unsigned "
                 f"(bits={bits_v}, fmt={sfmt})"
+            )
+        if spp == 4 and photo not in (2, 5):
+            raise NotImplementedError(
+                f"4-sample TIFF with photometric {photo}: only RGBA "
+                "(2 + extra sample) and CMYK (5) decode"
             )
     elif spp != 1 or (sfmt, bits) not in ((1, 8), (1, 16), (3, 32)):
         raise NotImplementedError(
@@ -1028,7 +1114,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         # the sample count (color collapses inside the JPEG decoder)
         arr = _assemble(offs, cnts, 1 if comp == 7 else spp)
 
-    meta: dict = {}
+    meta: dict = {"photometric": photo, "bits": bits}
     if 33550 in tags:
         meta["pixel_scale"] = (tags[33550][0], tags[33550][1])
     if 33922 in tags:
@@ -1072,19 +1158,38 @@ def decode_tiff_rgb_luma(payload: bytes) -> np.ndarray:
     ``(299·R + 587·G + 114·B) // 1000``. Integer-exact (hence
     SQL-twin-able in DuckDB) and monotone in each channel; 16-bit RGB
     keeps full precision because the weighted sum fits u32."""
-    arr = decode_geotiff(payload)[0]
+    arr, meta = decode_geotiff(payload)
     if arr.ndim == 2 and arr.dtype == np.uint16:
         # color JPEG-in-TIFF (Compression 7, photometric 6): the JPEG
         # decoder already collapsed YCbCr to the luma plane — which IS
         # the BT.601 luma this function computes for uncompressed RGB
         # (same ITU-R 601 weights, DCT-lossy), so pass it through
         return arr
-    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint16:
+    if (
+        arr.ndim != 3
+        or arr.shape[2] not in (3, 4)
+        or arr.dtype != np.uint16
+    ):
         raise ValueError(
-            f"tiff-rgb payload is not 3-sample integer RGB "
+            f"tiff-rgb payload is not 3/4-sample integer color "
             f"(shape {arr.shape}, dtype {arr.dtype})"
         )
-    a = arr.astype(np.uint32)
+    a = arr.astype(np.uint64)
+    if arr.shape[2] == 4 and meta.get("photometric") == 5:
+        # CMYK (late r7): exact integer ink→RGB on the sample range
+        # (R = (maxv−C)·(maxv−K)/maxv, TIFF6 §16's standard transform),
+        # then the same BT.601 reduction — all in uint64 headroom
+        maxv = (1 << meta["bits"]) - 1
+        c, m, yk, k = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        a = np.stack(
+            [
+                (maxv - c) * (maxv - k) // maxv,
+                (maxv - m) * (maxv - k) // maxv,
+                (maxv - yk) * (maxv - k) // maxv,
+            ],
+            axis=-1,
+        )
+    # RGBA: the 4th (alpha) sample is simply not part of luma
     return (
         (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
     ).astype(np.uint16)
