@@ -315,11 +315,19 @@ def band_rows_from_orders(
                 # and every pixel-value oracle is untouched. 1/4 of RGB
                 # payloads ship PlanarConfiguration 2 (separate plane
                 # groups) so the driver-checked queries exercise the
-                # planar read path too.
-                enc = codec.encode_tiff_rgb(
-                    np.stack([px, px, px], axis=-1),
-                    planar=2 if c % 4 == 1 else 1,
-                )
+                # planar read path too. Late r7: residue-3 captures ship
+                # RGBA (photometric 2 + ExtraSamples alpha, which the
+                # luma reducer ignores — still exactly v), so the
+                # 4-sample container path is driver-exercised too.
+                if c % 8 == 3:
+                    enc = codec.encode_tiff_rgba(
+                        np.stack([px, px, px, px >> 1], axis=-1),
+                    )
+                else:
+                    enc = codec.encode_tiff_rgb(
+                        np.stack([px, px, px], axis=-1),
+                        planar=2 if c % 4 == 1 else 1,
+                    )
             elif f == "lossy-q12":
                 enc = codec.encode_lossy_q12(px)
             elif f == "png":
