@@ -285,3 +285,39 @@ def test_audio_flac_container(spark):
     bad[-40] ^= 0x55
     with _pytest.raises(ValueError):
         decode_flac(bytes(bad))
+
+
+def test_audio_quarantine_routing(spark):
+    """Late r7: the image side's S4 quarantine contract extended to
+    audio — with quarantine=True, corrupt/unsupported payloads emit a
+    decode_status row with NULL features instead of killing the job;
+    default stays fail-fast."""
+    from tiff_enrichment_pipeline_spark.raster.multimodal import (
+        encode_wav_s16,
+    )
+
+    sr = 8000
+    sine = (9000 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)).astype("<i2")
+    wav = encode_wav_s16(sine, sr)
+    rows = [
+        (1, sine.tobytes(), sr, "pcm-s16le"),
+        (2, wav[: len(wav) // 2], sr, "wav"),      # truncated -> corrupt
+        (3, b"\x00" * 64, sr, "mp3"),              # absent codec
+        (4, wav, sr, "wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "audio_id long, bytes binary, sample_rate int, fmt string"
+    )
+    got = {
+        r["audio_id"]: r
+        for r in extract_audio_features(df, quarantine=True).collect()
+    }
+    assert got[1]["decode_status"] == "ok"
+    assert got[2]["decode_status"] == "corrupt"
+    assert got[2]["rms"] is None and got[2]["zero_crossings"] is None
+    assert got[3]["decode_status"] == "unsupported"
+    assert got[4]["decode_status"] == "ok"
+    assert got[4]["rms"] == pytest.approx(got[1]["rms"])
+    # default contract unchanged: damage raises inside the task
+    with pytest.raises(Exception):
+        extract_audio_features(df).collect()

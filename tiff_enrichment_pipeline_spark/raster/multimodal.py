@@ -469,31 +469,65 @@ AUDIO_SCHEMA = (
 )
 
 
-def extract_audio_features(audio: DataFrame) -> DataFrame:
+AUDIO_STATUS_SCHEMA = AUDIO_SCHEMA + ", decode_status string"
+
+
+def extract_audio_features(
+    audio: DataFrame, quarantine: bool = False
+) -> DataFrame:
     """(audio_id, bytes, sample_rate, fmt) → rms, zero-crossing count,
-    duration — the audio leg of the multimodal contract."""
+    duration — the audio leg of the multimodal contract.
+
+    ``quarantine=False`` (default): a damaged payload raises inside the
+    task (fail-fast for curated tables). ``quarantine=True`` (late r7 —
+    the image side's S4 contract extended to audio): every row is
+    emitted with a ``decode_status`` column ('ok' / 'corrupt' /
+    'unsupported') and NULL features on failure, so one bad byte at
+    100 TB routes to a filter instead of killing the job."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
-                "audio_id": [], "rms": [], "zero_crossings": [], "duration_s": [],
+                "audio_id": [], "rms": [], "zero_crossings": [],
+                "duration_s": [],
             }
+            if quarantine:
+                out["decode_status"] = []
             for aid, payload, sr, fmt in zip(
                 pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
             ):
-                x, container_rate = _decode_audio(bytes(payload), str(fmt))
-                # a self-describing container (wav) carries its own rate
-                # and wins over the column — the column is the contract
-                # for headerless pcm-s16le only
-                eff_sr = container_rate if container_rate else float(sr)
                 out["audio_id"].append(aid)
-                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                try:
+                    x, container_rate = _decode_audio(
+                        bytes(payload), str(fmt)
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    if not quarantine:
+                        raise
+                    out["rms"].append(None)
+                    out["zero_crossings"].append(None)
+                    out["duration_s"].append(None)
+                    out["decode_status"].append(
+                        "unsupported"
+                        if isinstance(e, NotImplementedError)
+                        else "corrupt"
+                    )
+                    continue
+                # a self-describing container (wav/flac) carries its own
+                # rate and wins over the column — the column is the
+                # contract for headerless pcm-s16le only
+                eff_sr = container_rate if container_rate else float(sr)
+                out["rms"].append(
+                    float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                )
                 out["zero_crossings"].append(
                     int(np.count_nonzero(np.diff(np.signbit(x))))
                 )
                 out["duration_s"].append(len(x) / float(eff_sr))
+                if quarantine:
+                    out["decode_status"].append("ok")
             yield pd.DataFrame(out)
 
     return audio.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
-        run, AUDIO_SCHEMA
+        run, AUDIO_STATUS_SCHEMA if quarantine else AUDIO_SCHEMA
     )
