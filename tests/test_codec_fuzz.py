@@ -127,6 +127,14 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
                 np.stack([px8, px8, px8, px8], axis=-1).astype(np.uint8),
             ),
         ),
+        (
+            "tiff-palette",
+            "tiff-rgb",
+            codec.encode_tiff_palette(
+                px8,
+                np.arange(768, dtype=np.uint16).reshape(3, 256) * 77,
+            ),
+        ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
             "jpeg-12bit-color",

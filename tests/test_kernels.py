@@ -1192,3 +1192,44 @@ def test_tiff_rgba_and_cmyk_luma():
     bad[i + 8] = 3
     with pytest.raises(NotImplementedError):
         codec.decode_tiff_rgb_luma(bytes(bad))
+
+
+def test_tiff_palette_luma_and_guards():
+    """Late-r7 palette TIFF (photometric 3 + ColorMap 320 — land-cover
+    classification rasters): indices map through the 16-bit colormap to
+    exact BT.601 luma under fmt='tiff-rgb'; a palette plane is REJECTED
+    as a gray band (indices are class labels, not radiance — before
+    this branch they silently passed as gray values); a missing or
+    short ColorMap classifies."""
+    from tiff_enrichment_pipeline_spark.raster import codec
+
+    rng = np.random.default_rng(3)
+    for bits, dt in ((8, np.uint8), (16, np.uint16)):
+        n = 1 << bits
+        idx = rng.integers(0, min(n, 1000), (40, 56)).astype(dt)
+        cm = rng.integers(0, 65536, (3, n)).astype(np.uint16)
+        c = cm.astype(np.uint64)
+        ix = idx.astype(np.int64)
+        want = (
+            (299 * c[0][ix] + 587 * c[1][ix] + 114 * c[2][ix]) // 1000
+        ).astype(np.uint16)
+        for kw in (
+            dict(),
+            dict(compression="lzw"),
+            dict(tile=16),
+            dict(bigtiff=True),
+        ):
+            enc = codec.encode_tiff_palette(idx, cm, **kw)
+            assert np.array_equal(codec.decode_tiff_rgb_luma(enc), want)
+        with pytest.raises(NotImplementedError):
+            codec.decode_tiff_u16(codec.encode_tiff_palette(idx, cm))
+
+    enc = bytearray(
+        codec.encode_tiff_palette(
+            np.zeros((8, 8), np.uint8), np.zeros((3, 256), np.uint16)
+        )
+    )
+    i = enc.find((320).to_bytes(2, "little"))
+    enc[i : i + 2] = (321).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="ColorMap"):
+        codec.decode_tiff_rgb_luma(bytes(enc))

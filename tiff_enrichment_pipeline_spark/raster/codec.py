@@ -38,9 +38,12 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   GDAL's compressed-DEM default). Late r7 adds 4-sample containers:
   RGBA (photometric 2 + ExtraSamples 338 — the luma reducer ignores
   alpha) and CMYK (photometric 5, exact integer ink→RGB per §16).
-  Remaining exotic variants (old-style Compression-6 JPEG, palette,
-  predictor 3 on integer samples) fall back to a Pillow-gated path and
-  raise NotImplementedError when absent.
+  and palette (photometric 3 + ColorMap 320 — land-cover
+  classification rasters; indices map through the 16-bit colormap to
+  exact BT.601 luma, and are REJECTED as gray bands). Remaining exotic
+  variants (old-style Compression-6 JPEG, predictor 3 on integer
+  samples) fall back to a Pillow-gated path and raise
+  NotImplementedError when absent.
 
 PSNR (peak 65535) is the per-row invariant from BASELINE.json input_hint:
 decoded-pixel allclose for lossless, PSNR ≥ 40 dB for lossy.
@@ -579,6 +582,49 @@ def encode_tiff_cmyk(
     )
 
 
+def encode_tiff_palette(
+    indices: np.ndarray,
+    colormap: np.ndarray,
+    *,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+    tile: int | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """Palette TIFF (late r7, TIFF6 §5 'Palette color'): ``indices`` is
+    (h, w) uint8/uint16 class labels, ``colormap`` (3, 2^bits) 16-bit
+    RGB — the layout land-cover classification rasters ship. Predictor
+    is forced to 1 (differencing class labels is meaningless)."""
+    if indices.ndim != 2:
+        raise ValueError("indices must be (h, w)")
+    if indices.dtype == np.uint8:
+        bits = 8
+    elif indices.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError(
+            f"palette indices must be uint8/uint16, got {indices.dtype}"
+        )
+    cm = np.asarray(colormap, np.uint16)
+    if cm.shape != (3, 1 << bits):
+        raise ValueError(
+            f"colormap must be (3, {1 << bits}) for {bits}-bit indices"
+        )
+    return _encode_tiff_int(
+        indices[:, :, None],
+        bits=bits,
+        photometric=3,
+        compression=compression,
+        rows_per_strip=rows_per_strip,
+        predictor=1,
+        geo=None,
+        level=6,
+        tile=tile,
+        bigtiff=bigtiff,
+        extra_tags=[(320, _T_SHORT, [int(v) for v in cm.ravel()])],
+    )
+
+
 def encode_tiff_jpeg_gray(
     band: np.ndarray,
     *,
@@ -977,6 +1023,26 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             f"TIFF profile outside baseline grayscale/RGB/float-DEM "
             f"(spp={spp}, bits={bits}, fmt={sfmt})"
         )
+    colormap = None
+    if photo == 3:
+        # palette (late r7 — land-cover classification rasters ship
+        # photometric 3): the plane is INDICES; without this branch they
+        # would silently pass as gray values. ColorMap (320) is 3·2^bits
+        # 16-bit values, red plane then green then blue (TIFF6 §5).
+        if spp != 1 or sfmt != 1 or bits not in (8, 16):
+            raise NotImplementedError(
+                f"palette TIFF outside 8/16-bit single-plane indices "
+                f"(spp={spp}, bits={bits}, fmt={sfmt})"
+            )
+        if 320 not in tags:
+            raise ValueError("palette TIFF missing ColorMap tag 320")
+        cm = tags[320]
+        if len(cm) != 3 * (1 << bits):
+            raise ValueError(
+                f"palette ColorMap has {len(cm)} entries, "
+                f"expected {3 * (1 << bits)}"
+            )
+        colormap = np.asarray(cm, np.uint16).reshape(3, 1 << bits)
     if comp == 7:
         # new-style JPEG-in-TIFF (TIFF TechNote 2, r7): each strip/tile
         # is a (possibly abbreviated) JPEG stream, shared tables in tag
@@ -1115,6 +1181,8 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         arr = _assemble(offs, cnts, 1 if comp == 7 else spp)
 
     meta: dict = {"photometric": photo, "bits": bits}
+    if colormap is not None:
+        meta["colormap"] = colormap
     if 33550 in tags:
         meta["pixel_scale"] = (tags[33550][0], tags[33550][1])
     if 33922 in tags:
@@ -1136,7 +1204,14 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
 
 
 def decode_tiff_u16(payload: bytes) -> np.ndarray:
-    arr = decode_geotiff(payload)[0]
+    arr, _meta = decode_geotiff(payload)
+    if _meta.get("photometric") == 3:
+        # palette indices are class labels, not radiometric samples —
+        # returning them as a gray band would be silently wrong
+        raise NotImplementedError(
+            "palette TIFF is not a gray band payload; use fmt "
+            "'tiff-rgb' (ColorMap → BT.601 luma) or decode_geotiff"
+        )
     if arr.dtype != np.uint16:
         # float-sample TIFFs are DEM sources (sources/dem_geotiff), not
         # band payloads — keep the u16 band contract explicit
@@ -1159,6 +1234,14 @@ def decode_tiff_rgb_luma(payload: bytes) -> np.ndarray:
     SQL-twin-able in DuckDB) and monotone in each channel; 16-bit RGB
     keeps full precision because the weighted sum fits u32."""
     arr, meta = decode_geotiff(payload)
+    if meta.get("photometric") == 3:
+        # palette (late r7): indices → ColorMap's 16-bit RGB → the same
+        # exact integer BT.601 — checked BEFORE the 2-D luma passthrough
+        # (a palette plane is 2-D uint16 too, but it is NOT luma)
+        cm = meta["colormap"].astype(np.uint64)
+        idx = arr.astype(np.int64)
+        r, g, b = cm[0][idx], cm[1][idx], cm[2][idx]
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint16)
     if arr.ndim == 2 and arr.dtype == np.uint16:
         # color JPEG-in-TIFF (Compression 7, photometric 6): the JPEG
         # decoder already collapsed YCbCr to the luma plane — which IS
