@@ -137,6 +137,13 @@ def _encoder_matrix() -> list[tuple[str, str, bytes]]:
         ),
         ("jpeg-base", "jpeg", jpeg.encode_jpeg_gray(px8, quality=85)),
         (
+            "jpeg-rgb-direct",
+            "jpeg",
+            jpeg.encode_jpeg_rgb_direct(
+                np.stack([px8, px8, px8], axis=-1).astype(np.uint8)
+            ),
+        ),
+        (
             "jpeg-12bit-color",
             "jpeg",
             jpeg.encode_jpeg_color_12bit(

@@ -532,13 +532,27 @@ def test_jpeg_noninterleaved_and_rgb_gates():
         assert np.array_equal(jpeg.decode_jpeg_gray(bytes(p)), ref)
 
     rgb = np.stack([band >> 8] * 3, axis=-1).astype(np.uint8)
-    # (b1) component ids 'R','G','B'
+    # (b — rewritten late r7, the direct-RGB gate is lifted): component
+    # ids DECLARE the color space. Relabelling a YCbCr stream's ids to
+    # 'R','G','B' must decode through the direct-RGB path (no YCbCr
+    # inverse) — for this gray-in-RGB fixture Y=v and Cb,Cr are
+    # centered ~0, so the direct reading (R=v, G≈128, B≈128) must
+    # DIFFER from the YCbCr reading (≈v): proves we honor the ids.
+    ref_ycc = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(rgb, quality=92))
     enc3 = bytearray(jpeg.encode_jpeg_color(rgb, quality=92))
     j = enc3.find(b"\xff\xc0")
     enc3[j + 10], enc3[j + 13], enc3[j + 16] = 82, 71, 66
-    with pytest.raises(NotImplementedError, match="RGB component ids"):
+    # SOF-only relabel is INCONSISTENT (SOS still says 1,2,3) — the r6
+    # SOS-selector validation must classify it corrupt
+    with pytest.raises(ValueError, match="component"):
         jpeg.decode_jpeg_gray(bytes(enc3))
-    # (b2) Adobe APP14 transform=0 (raw RGB) gates; transform=1 decodes
+    k = enc3.find(b"\xff\xda")
+    enc3[k + 5], enc3[k + 7], enc3[k + 9] = 82, 71, 66
+    as_rgb = jpeg.decode_jpeg_gray(bytes(enc3))
+    assert as_rgb.shape == (64, 64)
+    assert not np.array_equal(as_rgb, ref_ycc)
+    # Adobe APP14 transform flag: 0 = direct RGB (same planes read as
+    # channels), 1 = YCbCr (unchanged reading)
     def with_app14(transform):
         seg = (
             b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe" + bytes(6)
@@ -548,9 +562,8 @@ def test_jpeg_noninterleaved_and_rgb_gates():
         out[2:2] = seg
         return bytes(out)
 
-    with pytest.raises(NotImplementedError, match="APP14 transform=0"):
-        jpeg.decode_jpeg_gray(with_app14(0))
-    assert jpeg.decode_jpeg_gray(with_app14(1)).shape == (64, 64)
+    assert not np.array_equal(jpeg.decode_jpeg_gray(with_app14(0)), ref_ycc)
+    assert np.array_equal(jpeg.decode_jpeg_gray(with_app14(1)), ref_ycc)
 
 
 def test_jpeg_restart_intervals():
@@ -1233,3 +1246,28 @@ def test_tiff_palette_luma_and_guards():
     enc[i : i + 2] = (321).to_bytes(2, "little")
     with pytest.raises(ValueError, match="ColorMap"):
         codec.decode_tiff_rgb_luma(bytes(enc))
+
+
+def test_jpeg_direct_rgb_components():
+    """Late r7: direct-RGB JPEG (component ids 'R','G','B', no color
+    transform — the APP14 transform=0 stream Adobe apps write) decodes
+    stdlib-side: planes are the color channels, luma computed straight
+    from them, mapped BY component id (any SOF order). Own test
+    encoder."""
+    from tiff_enrichment_pipeline_spark.raster import codec, jpeg
+
+    y, x = np.mgrid[0:61, 0:83]
+    r = (128 + 60 * np.sin(x / 11.0)).astype(np.uint8)
+    g = (128 + 55 * np.cos(y / 9.0)).astype(np.uint8)
+    b = (128 + 40 * np.sin((x + y) / 13.0)).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    a = rgb.astype(np.float64)
+    lum = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    enc = jpeg.encode_jpeg_rgb_direct(rgb, quality=92)
+    dec = (jpeg.decode_jpeg_gray(enc) >> 8).astype(np.float64)
+    assert codec.psnr_db(dec, lum, peak=255) >= 40.0
+    # dispatch + truncation classify
+    out = codec.decode(enc, 83, 61, "jpeg")
+    assert out.shape == (61, 83)
+    with pytest.raises(ValueError):
+        codec.decode(enc[: len(enc) // 2], 83, 61, "jpeg")

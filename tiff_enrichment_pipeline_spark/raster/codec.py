@@ -1471,8 +1471,8 @@ def _decode_any(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             # through to Pillow, which would mask corruption.
             arr = _jpeg.decode_jpeg_gray(payload)
         except NotImplementedError:
-            # remaining exotic profiles (arithmetic coding,
-            # Adobe-RGB) → optional Pillow
+            # remaining exotic profile (arithmetic coding) → optional
+            # Pillow
             arr = _pillow_gray_u16(
                 payload, "jpeg",
                 "baseline sequential gray/YCbCr decodes stdlib-only",

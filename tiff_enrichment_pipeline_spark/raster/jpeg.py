@@ -25,8 +25,10 @@ test encoder), plus sampling factors up to the spec's 1-4 range
 the entropy/DCT path is precision-agnostic — only the level shift and
 output scaling differ; own test encoder `encode_jpeg_color_12bit`).
 Round 7 also removes the non-integer sampling-ratio gate (index-map
-upsampler; Y 3x1 / Cb 2x1-style streams are legal per A.1.1). Only
-arithmetic coding stays behind the optional Pillow gate in
+upsampler; Y 3x1 / Cb 2x1-style streams are legal per A.1.1) and the
+direct-RGB gate (component ids 'R','G','B' / APP14 transform=0 — planes
+are the channels, luma computed straight from them). Only arithmetic
+coding stays behind the optional Pillow gate in
 ``codec.decode`` — same policy as the remaining exotic TIFF variants
 (JPEG-in-TIFF, multi-sample).
 
@@ -541,6 +543,51 @@ def encode_jpeg_color(
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb_direct(rgb: np.ndarray, quality: int = 92) -> bytes:
+    """Direct-RGB baseline JPEG (late r7): component ids 'R','G','B'
+    (82/71/66), NO color transform — the stream Adobe apps write with
+    APP14 transform=0. 4:4:4, luminance tables for all three channels.
+    Test-vector twin for the direct-RGB decode path."""
+    h, w, nc = rgb.shape
+    if nc != 3 or rgb.dtype != np.uint8:
+        raise ValueError("expects (h, w, 3) uint8")
+    q_lum = _quant_table(quality)
+    q2d = q_lum.reshape(8, 8).astype(np.float64)
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    planes = [
+        np.pad(
+            rgb[..., i].astype(np.float64),
+            ((0, H - h), (0, W - w)),
+            mode="edge",
+        )
+        - 128.0
+        for i in range(3)
+    ]
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(H // 8):
+        for mx in range(W // 8):
+            for ci in range(3):
+                prev[ci] = _encode_block(
+                    writer,
+                    planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    q2d, _DC_ENC, _AC_ENC, prev[ci],
+                )
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q_lum[_ZIGZAG]))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([82, 0x11, 0, 71, 0x11, 0, 66, 0x11, 0]),
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([3, 82, 0x00, 71, 0x00, 66, 0x00, 0, 63, 0]))
+    out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1369,7 +1416,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     grayscale u16. Baseline (SOF0) and progressive (SOF2) frames both
     decode, at 8-bit or 12-bit precision (gray + YCbCr); raises
     NotImplementedError for the remaining profiles (arithmetic coding,
-    and Adobe-RGB streams whose
+    streams whose
     APP14 declares transform 0) — the ``codec.decode`` dispatch routes
     those to the optional Pillow path.
     """
@@ -1386,6 +1433,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     coefs = None  # per-comp (padded_bh, padded_bw, 64) zigzag int32
     prog_geo = None
     sample_prec = 8
+    rgb_direct = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1452,13 +1500,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             # legal per T.81 A.1.1) decode via the index-map upsampler
             # in _finish_jpeg_planes — no gate needed; block geometry
             # (_comp_geometry) was already general ceil arithmetic
-            if ncomp == 3 and {c[0] for c in comps} == {82, 71, 66}:
-                # component ids 'R','G','B': raw-RGB stream (no color
-                # transform) — same gate as APP14 transform=0
-                raise NotImplementedError(
-                    "jpeg with RGB component ids: the stdlib path only "
-                    "decodes YCbCr"
-                )
+            # component ids 'R','G','B' (or APP14 transform=0): a
+            # direct-RGB stream with NO color transform — late r7,
+            # handled in _finish_jpeg_planes (each plane is a centered
+            # color channel; luma is computed straight from them)
             sof = (h, w, comps)
         elif marker == 0xFFC4:
             i = 0
@@ -1473,14 +1518,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFEE and body[:5] == b"Adobe":
             # APP14 transform flag: 0 = components are straight RGB (no
-            # color transform) — our fixed YCbCr math would silently
-            # produce wrong luma, so gate to the Pillow path (which
-            # honors APP14); 1 = YCbCr, 2 = YCCK (4-comp, gated at SOF)
+            # color transform — late r7: decoded via the direct-RGB tail
+            # in _finish_jpeg_planes); 1 = YCbCr; 2 = YCCK (4-comp,
+            # gated at SOF)
             if len(body) >= 12 and body[11] == 0:
-                raise NotImplementedError(
-                    "jpeg Adobe APP14 transform=0 (RGB components): the "
-                    "stdlib path only decodes YCbCr"
-                )
+                rgb_direct = True
         elif marker == 0xFFDA and progressive:
             if sof is None:
                 raise ValueError("jpeg SOS before SOF")
@@ -1588,7 +1630,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 raise ValueError("jpeg scan references missing quant table")
         planes = _planes_from_coefs(coefs, comps, qtables)
         return _finish_jpeg_planes(
-            planes, comps, hmax, vmax, h, w, sample_prec
+            planes, comps, hmax, vmax, h, w, sample_prec,
+            rgb_direct=rgb_direct,
         )
     q2ds, dc_tbls, ac_tbls = [], [], []
     for (cid, hi, vi, tq), (dci, aci) in zip(comps, scan_tabs):
@@ -1629,10 +1672,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         py = (my * vi + byi) * 8
                         px = (mx * hi + bxi) * 8
                         planes[ci][py : py + 8, px : px + 8] = blk
-    return _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, sample_prec)
+    return _finish_jpeg_planes(
+        planes, comps, hmax, vmax, h, w, sample_prec, rgb_direct=rgb_direct
+    )
 
 
-def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
+def _finish_jpeg_planes(
+    planes, comps, hmax, vmax, h, w, prec=8, rgb_direct=False
+) -> np.ndarray:
     """Shared decode tail (baseline + progressive): replication-upsample
     subsampled planes, crop to (h, w), and convert to u16 luma.
     ``prec``: sample precision — 8-bit expands ×257, 12-bit by the
@@ -1665,6 +1712,27 @@ def _finish_jpeg_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
     # the midpoint/clip bound and output scaling depend on prec (8-bit
     # full range 255, 12-bit 4095).
     center, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+    ids = {c[0] for c in comps}
+    if ids == {82, 71, 66} or rgb_direct:
+        # direct-RGB stream (component ids 'R','G','B', or ANY ids under
+        # APP14 transform=0 — late r7): planes ARE the centered color
+        # channels — no YCbCr inverse, straight to the 601 luma. Map
+        # planes BY COMPONENT ID when ids are R/G/B (SOF order is
+        # writer-defined); otherwise SOF order is the channel order.
+        if ids == {82, 71, 66}:
+            by_id = {c[0]: full[i] for i, c in enumerate(comps)}
+            pr, pg, pb = by_id[82], by_id[71], by_id[66]
+        else:
+            pr, pg, pb = full[0], full[1], full[2]
+        rr = np.clip(np.round(pr + center), 0, maxv)
+        gg = np.clip(np.round(pg + center), 0, maxv)
+        bb = np.clip(np.round(pb + center), 0, maxv)
+        luma = np.clip(
+            np.round(0.299 * rr + 0.587 * gg + 0.114 * bb), 0, maxv
+        ).astype(np.uint16)
+        if prec == 12:
+            return (luma << 4) | (luma >> 8)
+        return luma * 257
     y = full[0] + center
     cb = full[1]
     cr = full[2]
