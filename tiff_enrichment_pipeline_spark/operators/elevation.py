@@ -82,44 +82,141 @@ def _bilinear_vec(
     )
 
 
-def _broadcast_grids(dem_tiles: DataFrame):
-    """Collect the (bounded) DEM tile grids once and ship them to workers
-    as a Spark broadcast variable — shared by every broadcast-strategy
-    sampling UDF so grids never travel per-row through a join → Arrow."""
+def _broadcast_grid_stack(dem_tiles: DataFrame):
+    """Broadcast the DEM as ONE stacked ndarray + dense (tx, ty)→index map.
+
+    Round-8: the per-batch tile-group loop (dict lookup + fancy index +
+    a ~13-row `_bilinear_vec` call per tile at fixture tile counts) spent
+    its time in per-group Python overhead, not math — ~1.2 µs/row at the
+    1247-tile / 16384-row-batch shape. With a (T, N, N) stack and a dense
+    int32 map, a whole batch resolves tile indices and gathers the 4
+    corner values in a handful of vectorized ops — no per-tile loop.
+    Returns a broadcast of (stack, map2d, tx0, ty0); probes off the map
+    (world points) resolve to index -1 → NaN, same as the dict-miss path.
+    """
     tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
-    grids = {
-        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
-        .reshape(DEM_N, DEM_N)
-        .astype(np.float64)
-        for r in tile_rows
-    }
-    return dem_tiles.sparkSession.sparkContext.broadcast(grids)
+    txs = np.array([r["tile_x"] for r in tile_rows], dtype=np.int64)
+    tys = np.array([r["tile_y"] for r in tile_rows], dtype=np.int64)
+    stack = np.stack(
+        [
+            np.frombuffer(r["grid"], dtype="<f4")
+            .reshape(DEM_N, DEM_N)
+            .astype(np.float64)
+            for r in tile_rows
+        ]
+    ) if tile_rows else np.zeros((0, DEM_N, DEM_N))
+    if len(tile_rows):
+        tx0, ty0 = int(txs.min()), int(tys.min())
+        map2d = np.full(
+            (int(txs.max()) - tx0 + 1, int(tys.max()) - ty0 + 1),
+            -1,
+            dtype=np.int32,
+        )
+        map2d[txs - tx0, tys - ty0] = np.arange(len(tile_rows), dtype=np.int32)
+    else:  # degenerate empty DEM
+        tx0 = ty0 = 0
+        map2d = np.full((1, 1), -1, dtype=np.int32)
+    return dem_tiles.sparkSession.sparkContext.broadcast(
+        (stack, map2d, tx0, ty0)
+    )
 
 
-def _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
-    """Yield ``((tile_x, tile_y), row_indices)`` for the valid-GPS rows of
-    one Arrow batch, grouped by tile key — the shared per-batch grouping
-    behind every broadcast-grid UDF (elevation, terrain), so the key
-    encoding/sentinel/argsort logic exists exactly once."""
+def _tile_indices(map2d, tx0, ty0, tx_v, ty_v, valid):
+    """Vectorized (tx, ty) → stack index; -1 for off-map/invalid rows."""
+    ix = tx_v - tx0
+    iy = ty_v - ty0
+    ok = (
+        valid
+        & (ix >= 0)
+        & (ix < map2d.shape[0])
+        & (iy >= 0)
+        & (iy < map2d.shape[1])
+    )
+    tidx = np.full(len(tx_v), -1, dtype=np.int64)
+    tidx[ok] = map2d[ix[ok], iy[ok]]
+    return tidx
+
+
+def _batch_tile_resolve(lon_s, lat_s, tx_s, ty_s, map2d, tx0, ty0):
+    """Decode one Arrow batch's (lon, lat, tile key) columns and resolve
+    stack indices — the shared prelude of the stacked-gather UDFs.
+    Returns (lon_v, lat_v, tx_v, ty_v, rows, tidx_rows) where ``rows``
+    selects the on-DEM probes of the batch."""
+    lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
+    lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
     valid = ~np.isnan(lon_v) & ~np.isnan(lat_v)
-    if not valid.any():
-        return
     tx_v = np.where(
         valid, tx_s.to_numpy(np.float64, na_value=np.nan), 0
     ).astype(np.int64)
     ty_v = np.where(
         valid, ty_s.to_numpy(np.float64, na_value=np.nan), 0
     ).astype(np.int64)
-    key = np.where(valid, tx_v * 100000 + ty_v, np.int64(-(2**62)))
-    order = np.argsort(key, kind="stable")
-    sk = key[order]
-    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-    bounds = np.r_[starts, len(sk)]
-    for gi in range(len(starts)):
-        if sk[starts[gi]] == -(2**62):
-            continue
-        rows = order[bounds[gi] : bounds[gi + 1]]
-        yield (int(tx_v[rows[0]]), int(ty_v[rows[0]])), rows
+    tidx = _tile_indices(map2d, tx0, ty0, tx_v, ty_v, valid)
+    rows = np.flatnonzero(tidx >= 0)
+    return lon_v, lat_v, tx_v, ty_v, rows, tidx[rows]
+
+
+def _bilinear_gather(
+    stack: np.ndarray,
+    tidx: np.ndarray,
+    lon_v: np.ndarray,
+    lat_v: np.ndarray,
+    tx_v: np.ndarray,
+    ty_v: np.ndarray,
+) -> np.ndarray:
+    """Whole-batch bilinear sample via stacked-grid gather. Element-wise
+    arithmetic is IDENTICAL to `_bilinear_vec` (same ops, same order, only
+    the tile scalar became a per-row array), so values are bit-identical
+    to the per-tile loop — pinned by test_operators_geo."""
+    fx = (lon_v - tx_v * DEM_TILE_DEG) / DEM_STEP - 0.5
+    fy = (lat_v - ty_v * DEM_TILE_DEG) / DEM_STEP - 0.5
+    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
+    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
+    wx = np.clip(fx - i0, 0.0, 1.0)
+    wy = np.clip(fy - j0, 0.0, 1.0)
+    v00, v10 = stack[tidx, j0, i0], stack[tidx, j0, i0 + 1]
+    v01, v11 = stack[tidx, j0 + 1, i0], stack[tidx, j0 + 1, i0 + 1]
+    return (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) + wy * (
+        (1.0 - wx) * v01 + wx * v11
+    )
+
+
+def _terrain_gather(
+    stack: np.ndarray,
+    tidx: np.ndarray,
+    lon_v: np.ndarray,
+    lat_v: np.ndarray,
+    tx_v: np.ndarray,
+    ty_v: np.ndarray,
+):
+    """Whole-batch `_terrain_vec` twin over the stacked grids (same
+    element-wise ops/order — value-identity pinned by tests)."""
+    fx = (lon_v - tx_v * DEM_TILE_DEG) / DEM_STEP - 0.5
+    fy = (lat_v - ty_v * DEM_TILE_DEG) / DEM_STEP - 0.5
+    i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
+    j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
+    wx = np.clip(fx - i0, 0.0, 1.0)
+    wy = np.clip(fy - j0, 0.0, 1.0)
+    v00, v10 = stack[tidx, j0, i0], stack[tidx, j0, i0 + 1]
+    v01, v11 = stack[tidx, j0 + 1, i0], stack[tidx, j0 + 1, i0 + 1]
+    gxg = (1.0 - wy) * (v10 - v00) + wy * (v11 - v01)
+    gyg = (1.0 - wx) * (v01 - v00) + wx * (v11 - v10)
+    m_lon = _M_PER_DEG_LAT * np.cos(np.radians(lat_v))
+    gx = gxg / (DEM_STEP * m_lon)
+    gy = gyg / (DEM_STEP * _M_PER_DEG_LAT)
+    slope_r = np.arctan(np.sqrt(gx * gx + gy * gy))
+    ar = np.arctan2(-gx, -gy)
+    aspect = np.degrees(ar)
+    aspect = np.where(aspect < 0.0, aspect + 360.0, aspect)
+    aspect = np.mod(aspect, 360.0)
+    aspect = np.where((gxg == 0.0) & (gyg == 0.0), np.nan, aspect)
+    zen = np.radians(90.0 - _HS_ALT_DEG)
+    azr = np.radians(_HS_AZ_DEG)
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope_r)
+        + np.sin(zen) * np.sin(slope_r) * np.cos(azr - ar)
+    )
+    return np.degrees(slope_r), aspect, np.maximum(hs, 0.0)
 
 
 def elevation_join(
@@ -148,23 +245,22 @@ def elevation_join(
         return _elevation_partitioned(
             images, dem_tiles, lon=lon, lat=lat, salt=salt
         )
-    bc = _broadcast_grids(dem_tiles)
+    bc = _broadcast_grid_stack(dem_tiles)
 
     @F.pandas_udf(DoubleType())
     def _sample(
         it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
     ) -> Iterator[pd.Series]:
-        g_by_tile = bc.value
+        stack, map2d, tx0, ty0 = bc.value
         for lon_s, lat_s, tx_s, ty_s in it:
-            lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
-            lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
+            lon_v, lat_v, tx_v, ty_v, rows, ti = _batch_tile_resolve(
+                lon_s, lat_s, tx_s, ty_s, map2d, tx0, ty0
+            )
             out = np.full(len(lon_v), np.nan)
-            for tile, rows in _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
-                g = g_by_tile.get(tile)
-                if g is None:
-                    continue
-                out[rows] = _bilinear_vec(
-                    g, lon_v[rows], lat_v[rows], tile[0], tile[1]
+            if len(rows):
+                out[rows] = _bilinear_gather(
+                    stack, ti, lon_v[rows], lat_v[rows], tx_v[rows],
+                    ty_v[rows],
                 )
             yield pd.Series(out)
 
@@ -470,7 +566,7 @@ def terrain_join(
             )
         return result
 
-    bc = _broadcast_grids(dem_tiles)
+    bc = _broadcast_grid_stack(dem_tiles)
     t_struct = StructType(
         [
             StructField("slope_deg", DoubleType()),
@@ -483,21 +579,19 @@ def terrain_join(
     def _terr(
         lon_s: pd.Series, lat_s: pd.Series, tx_s: pd.Series, ty_s: pd.Series
     ) -> pd.DataFrame:
-        g_by_tile = bc.value
-        lon_v = lon_s.to_numpy(np.float64, na_value=np.nan)
-        lat_v = lat_s.to_numpy(np.float64, na_value=np.nan)
+        stack, map2d, tx0, ty0 = bc.value
+        lon_v, lat_v, tx_v, ty_v, rows, ti = _batch_tile_resolve(
+            lon_s, lat_s, tx_s, ty_s, map2d, tx0, ty0
+        )
         n = len(lon_v)
         out = {
             "slope_deg": np.full(n, np.nan),
             "aspect_deg": np.full(n, np.nan),
             "hillshade": np.full(n, np.nan),
         }
-        for tile, rows in _iter_tile_groups(lon_v, lat_v, tx_s, ty_s):
-            g = g_by_tile.get(tile)
-            if g is None:
-                continue
-            s, a, h = _terrain_vec(
-                g, lon_v[rows], lat_v[rows], tile[0], tile[1]
+        if len(rows):
+            s, a, h = _terrain_gather(
+                stack, ti, lon_v[rows], lat_v[rows], tx_v[rows], ty_v[rows]
             )
             out["slope_deg"][rows] = s
             out["aspect_deg"][rows] = a

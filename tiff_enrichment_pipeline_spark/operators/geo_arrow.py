@@ -18,13 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from tiff_enrichment_pipeline_spark.geotables import DEM_N, DEM_STEP, DEM_TILE_DEG
+from tiff_enrichment_pipeline_spark.geotables import DEM_TILE_DEG
 from tiff_enrichment_pipeline_spark.operators.knn_join import (
     _chord2_to_m,
     _indexed_payload_df,
     _safe_idx,
-    build_cell_candidates,
-    topk_bucketed_np,
+    build_knn_index,
+    topk_indexed_np,
 )
 
 
@@ -54,18 +54,19 @@ def fused_station_dem_lookup(
     s_xyz = np.stack(
         [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
     )
-    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=knn_res, ring=knn_ring)
+    knn_index, knn_res_f = build_knn_index(
+        s_lat, s_lon, s_xyz, 1, knn_res, knn_ring
+    )
 
-    tile_rows = dem_tiles.select("tile_x", "tile_y", "grid").collect()
-    grids = {
-        (r["tile_x"], r["tile_y"]): np.frombuffer(r["grid"], dtype="<f4")
-        .reshape(DEM_N, DEM_N)
-        .astype(np.float64)
-        for r in tile_rows
-    }
+    from tiff_enrichment_pipeline_spark.operators.elevation import (
+        _bilinear_gather,
+        _broadcast_grid_stack,
+        _tile_indices,
+    )
+
     sc = images.sparkSession.sparkContext
-    bc_s = sc.broadcast((s_xyz, s_ids, cand_by_cell))
-    bc_g = sc.broadcast(grids)
+    bc_s = sc.broadcast((s_xyz, s_ids, knn_index, knn_res_f))
+    bc_g = _broadcast_grid_stack(dem_tiles)
 
     out_t = StructType(
         [
@@ -77,46 +78,28 @@ def fused_station_dem_lookup(
 
     @F.pandas_udf(out_t)
     def _lookup(plat: pd.Series, plon: pd.Series) -> pd.DataFrame:
-        S, ids, cand = bc_s.value
-        g_by_tile = bc_g.value
+        S, ids, index, rf = bc_s.value
+        stack, map2d, tx0, ty0 = bc_g.value
         lat_v = plat.to_numpy(np.float64, na_value=np.nan)
         lon_v = plon.to_numpy(np.float64, na_value=np.nan)
         n = len(lat_v)
         elev = np.full(n, np.nan)
         valid = ~np.isnan(lat_v) & ~np.isnan(lon_v)
-        # --- 1-NN station: cell-bucketed chord GEMM (certified-exact) ---
-        idx, d2v = topk_bucketed_np(
-            lat_v, lon_v, S, ids, cand, 1, res=knn_res, ring=knn_ring
-        )
+        # --- 1-NN station: build-certified pruned-list chord GEMM ---
+        idx, d2v = topk_indexed_np(lat_v, lon_v, S, ids, index, 1, rf)
         st_idx = idx[:, 0]
         d2_out = d2v[:, 0]
         if valid.any():
-            # --- DEM bilinear, grouped by tile ---
-            tx = np.floor(lon_v / DEM_TILE_DEG).astype(np.int64)
-            ty = np.floor(lat_v / DEM_TILE_DEG).astype(np.int64)
-            key = np.where(valid, tx * 100000 + ty, np.int64(-(2**62)))
-            order = np.argsort(key, kind="stable")
-            sk = key[order]
-            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-            bounds = np.r_[starts, len(sk)]
-            for gi in range(len(starts)):
-                if sk[starts[gi]] == -(2**62):
-                    continue
-                rows = order[bounds[gi]:bounds[gi + 1]]
-                tile = (int(tx[rows[0]]), int(ty[rows[0]]))
-                g = g_by_tile.get(tile)
-                if g is None:
-                    continue
-                fx = (lon_v[rows] - tile[0] * DEM_TILE_DEG) / DEM_STEP - 0.5
-                fy = (lat_v[rows] - tile[1] * DEM_TILE_DEG) / DEM_STEP - 0.5
-                i0 = np.clip(np.floor(fx), 0, DEM_N - 2).astype(np.int64)
-                j0 = np.clip(np.floor(fy), 0, DEM_N - 2).astype(np.int64)
-                wx = np.clip(fx - i0, 0.0, 1.0)
-                wy = np.clip(fy - j0, 0.0, 1.0)
-                v00, v10 = g[j0, i0], g[j0, i0 + 1]
-                v01, v11 = g[j0 + 1, i0], g[j0 + 1, i0 + 1]
-                elev[rows] = (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) + wy * (
-                    (1.0 - wx) * v01 + wx * v11
+            # --- DEM bilinear: whole-batch stacked-grid gather (no
+            # per-tile loop — see elevation._broadcast_grid_stack) ---
+            tx = np.where(valid, np.floor(np.nan_to_num(lon_v) / DEM_TILE_DEG), 0).astype(np.int64)
+            ty = np.where(valid, np.floor(np.nan_to_num(lat_v) / DEM_TILE_DEG), 0).astype(np.int64)
+            tidx = _tile_indices(map2d, tx0, ty0, tx, ty, valid)
+            rows = np.flatnonzero(tidx >= 0)
+            if len(rows):
+                elev[rows] = _bilinear_gather(
+                    stack, tidx[rows], lon_v[rows], lat_v[rows], tx[rows],
+                    ty[rows],
                 )
         return pd.DataFrame({"st_idx": st_idx, "d2": d2_out, "elevation": elev})
 

@@ -339,6 +339,244 @@ def topk_bucketed_np(
     return out_idx, out_d2
 
 
+def build_knn_index(
+    s_lat: "np.ndarray",
+    s_lon: "np.ndarray",
+    s_xyz: "np.ndarray",
+    k: int,
+    res: int,
+    ring: int,
+) -> tuple[dict[int, "np.ndarray"], int]:
+    """Build-certified kNN index: cell id → int32 station indices whose
+    list provably contains the exact top-k for EVERY probe in the cell.
+
+    Round-8 replacement for the runtime-certified ring lists: the ring
+    candidate set at (res=10, ring=2) grows linearly with station density
+    (median 1031 / max 2752 stations per cell at the 10k-station scale —
+    measured), so the bucketed GEMM + selection was O(|probes| × density)
+    and the sf1.0 bench spent ~40 s in it. This index prunes by geometry
+    instead:
+
+    - fine grid at ``res_f = res + 2``; built cells = station-occupied
+      cells dilated by a ``4*ring`` Chebyshev ring (same geographic
+      coverage as the old (res, ring) lists — probes outside fall back).
+    - candidates of cell c = all stations with chord(c,s) ≤ kth(c) + 2·D(c)
+      where kth(c) is (an fp32 upper bound on) the k-th nearest-station
+      chord from the cell CENTER and D(c) bounds the max chord from the
+      center to any point of the cell (meridian+parallel path bound).
+
+    Completeness proof (triangle inequality in chord space — chord is the
+    3-D Euclidean metric on unit-sphere points): for any probe p in c,
+    kth(p) ≤ kth(c) + D (the k center-nearest stations are within
+    kth(c)+D of p), so any s in topk(p) has d(c,s) ≤ d(p,s) + D ≤
+    kth(c) + 2D. Hence selection over the pruned list equals selection
+    over ALL stations — no runtime certification, no per-probe fallback
+    inside covered cells. fp32 build error is absorbed by eps2 margins
+    (worst-case |fp32−fp64| of 2−2·dot3 on unit vectors < 2e-6 ≪ 1e-5),
+    which can only ADD candidates, never drop a true top-k member.
+
+    Median list size at the 10k-station fixture: 344 (vs 1031), and —
+    the property that matters — list size tracks k-th-neighbor density,
+    not ring area. Returns (index, res_f)."""
+    import math
+
+    res_f = res + 2
+    ring_f = 4 * ring
+    nx, ny = 2**res_f, 2 ** (res_f - 1)
+    w = 360.0 / nx
+    ix = np.clip(((s_lon + 180.0) / w).astype(np.int64), 0, nx - 1)
+    iy = np.clip(((s_lat + 90.0) / w).astype(np.int64), 0, ny - 1)
+    occ = np.unique(ix * np.int64(2**28) + iy)
+    d = np.arange(-ring_f, ring_f + 1, dtype=np.int64)
+    oix, oiy = occ >> 28, occ & (2**28 - 1)
+    cix = (oix[:, None, None] + d[None, :, None]) % nx
+    ciy = oiy[:, None, None] + d[None, None, :]
+    cix, ciy = np.broadcast_arrays(cix, ciy)
+    ok = (ciy >= 0) & (ciy < ny)
+    cells = np.unique(cix[ok] * np.int64(2**28) + ciy[ok])
+    gx, gy = cells >> 28, cells & (2**28 - 1)
+    clon = (gx + 0.5) * w - 180.0
+    clat = (gy + 0.5) * w - 90.0
+    rp, rl = np.radians(clat), np.radians(clon)
+    C = np.stack(
+        [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
+    ).astype(np.float32)
+    # D(c): max chord center→cell point via the meridian-then-parallel
+    # path bound h/2 + cos(φ_min)·w/2 (path length ≥ great circle ≥ chord)
+    m_per_deg = 2.0 * math.pi * EARTH_R / 360.0
+    phi_min = np.minimum(np.abs(clat - w / 2), np.abs(clat + w / 2))
+    phi_min = np.where((clat - w / 2 <= 0) & (clat + w / 2 >= 0), 0.0, phi_min)
+    d_gc = m_per_deg * (w / 2 + np.cos(np.radians(phi_min)) * w / 2)
+    d_ch = 2.0 * np.sin(np.minimum(d_gc / (2 * EARTH_R), math.pi / 2))
+    S32 = s_xyz.T.astype(np.float32)
+    kk = min(k, s_xyz.shape[0])
+    out: dict[int, np.ndarray] = {}
+    eps2 = np.float32(1e-5)  # ≥5× the worst-case fp32 chord² error
+    CH = 4096  # bound the (cells × stations) build matrix to ~160 MB fp32
+    for c0 in range(0, len(cells), CH):
+        cc = C[c0 : c0 + CH]
+        d2 = 2.0 - 2.0 * (cc @ S32)  # fp32 chord², (chunk, S)
+        np.maximum(d2, 0.0, out=d2)
+        kth2 = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+        # upper bound on the true kth chord (error folded inside the sqrt
+        # — adding it outside underestimates near d2≈0)
+        kth = np.sqrt(kth2 + eps2)
+        thr = kth + 2.0 * d_ch[c0 : c0 + CH].astype(np.float32)
+        mask = d2 <= (thr * thr + eps2)[:, None]
+        rows, cols = np.nonzero(mask)
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        bnds = np.r_[starts, len(rows)]
+        for i in range(len(starts)):
+            r = rows[starts[i]]
+            cell = int(
+                np.int64(res_f) * np.int64(2**56)
+                + np.int64(cells[c0 + r] >> 28) * np.int64(2**28)
+                + np.int64(cells[c0 + r] & (2**28 - 1))
+            )
+            # ascending station order (nonzero yields ascending cols) —
+            # the argmin first-occurrence tie rule == smallest station id
+            out[cell] = cols[bnds[i] : bnds[i + 1]].astype(np.int32)
+    return out, res_f
+
+
+def topk_indexed_np(
+    lat_v: "np.ndarray",
+    lon_v: "np.ndarray",
+    S_xyz: "np.ndarray",
+    s_ids: "np.ndarray",
+    index: dict[int, "np.ndarray"],
+    k: int,
+    res_f: int,
+):
+    """Exact kNN for a batch against a :func:`build_knn_index` index.
+
+    Same contract as :func:`topk_bucketed_np` — (idx, d2) of shape (n, k),
+    NaN where no GPS — but the per-cell lists are complete by construction,
+    so there is no runtime certification: probes in covered cells run one
+    pooled GEMM + kk argmin passes over the (much smaller) pruned lists;
+    probes outside coverage take the fp32-prefiltered full scan
+    (:func:`_fallback_f32_scan`). Requires ascending ``s_ids`` (the argmin
+    first-occurrence tie rule is the (d2, station_id) oracle order)."""
+    n = len(lat_v)
+    kk = min(k, S_xyz.shape[0])
+    out_idx = np.full((n, k), np.nan)
+    out_d2 = np.full((n, k), np.nan)
+    valid = ~np.isnan(lat_v) & ~np.isnan(lon_v)
+    if not valid.any():
+        return out_idx, out_d2
+    rp = np.radians(lat_v)
+    rl = np.radians(lon_v)
+    P = np.stack(
+        [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
+    )
+    nx, ny = 2**res_f, 2 ** (res_f - 1)
+    w = 360.0 / nx
+    ix = np.clip(np.nan_to_num((lon_v + 180.0) / w), 0, nx - 1)
+    iy = np.clip(np.nan_to_num((lat_v + 90.0) / w), 0, ny - 1)
+    key = np.where(
+        valid,
+        np.int64(res_f) * np.int64(2**56)
+        + ix.astype(np.int64) * np.int64(2**28)
+        + iy.astype(np.int64),
+        np.int64(-1),
+    )
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    bounds = np.r_[starts, len(sk)]
+    seg_rows: list[np.ndarray] = []
+    seg_cand: list[np.ndarray] = []
+    fb: list[np.ndarray] = []
+    for gi in range(len(starts)):
+        if sk[starts[gi]] == -1:
+            continue
+        rows = order[bounds[gi] : bounds[gi + 1]]
+        cand = index.get(int(sk[starts[gi]]))
+        if cand is None:
+            fb.append(rows)
+            continue
+        seg_rows.append(rows)
+        seg_cand.append(cand)
+    if seg_rows:
+        mb = max(len(c) for c in seg_cand)
+        bn = sum(len(r) for r in seg_rows)
+        rix = np.concatenate(seg_rows)
+        d2buf = np.empty((bn, mb))
+        gc = np.zeros((len(seg_cand), mb), dtype=np.int64)
+        gidx = np.empty(bn, dtype=np.int64)
+        pos = 0
+        for g, (rows, cand) in enumerate(zip(seg_rows, seg_cand)):
+            cw = len(cand)
+            # identical float ops to the ring formulation: BLAS (rows,3)
+            # @ (3,cw) on the un-padded candidate slice
+            d2buf[pos : pos + len(rows), :cw] = (
+                2.0 - 2.0 * (P[rows] @ S_xyz[cand].T)
+            )
+            d2buf[pos : pos + len(rows), cw:] = np.inf
+            gc[g, :cw] = cand
+            gidx[pos : pos + len(rows)] = g
+            pos += len(rows)
+        ar = np.arange(bn)
+        for j in range(kk):
+            jj = np.argmin(d2buf, axis=1)
+            out_idx[rix, j] = gc[gidx, jj].astype(np.float64)
+            out_d2[rix, j] = np.maximum(d2buf[ar, jj], 0.0)
+            if j + 1 < kk:
+                d2buf[ar, jj] = np.inf
+    if fb:
+        _fallback_f32_scan(np.concatenate(fb), P, S_xyz, kk, out_idx, out_d2)
+    return out_idx, out_d2
+
+
+def _fallback_f32_scan(rows, P, S_xyz, kk, out_idx, out_d2):
+    """Full-scan fallback for probes outside index coverage: fp32 GEMM
+    prefilter + exact fp64 re-rank of the survivors.
+
+    Replaces the argpartition(mm=k+8) + risky-row full-fp64-rescan shape:
+    with clustered build sides (e.g. tens of co-located stations per grid
+    slot) a far probe sees MORE than mm near-ties, so the old risky path
+    re-ran the whole fp64 scan for nearly every fallback row — 69% of
+    kernel time at the sf1.0 shape (cProfile). Here kth32 comes from kk
+    destructive argmin passes (no full-matrix partition), survivors
+    (d2f ≤ kth32 + margin — the same exactness argument: every true fp64
+    top-k member survives because |fp32−fp64| < 2e-6 ≪ margin) are
+    re-ranked in fp64 as ONE flat ragged list with a single lexsort.
+    Tie-break: lexsort minor key is the ascending station position ==
+    ascending id. No per-row Python, no second full scan."""
+    S32 = S_xyz.T.astype(np.float32)
+    CH = 4096  # bound the fp32 scan matrix to (4096 × |S|) per pass
+    for c0 in range(0, len(rows), CH):
+        r = rows[c0 : c0 + CH]
+        d2f = np.float32(2.0) - np.float32(2.0) * (
+            P[r].astype(np.float32) @ S32
+        )
+        work = d2f.copy()
+        arc = np.arange(len(r))
+        kth32 = None
+        for j in range(kk):
+            jj = np.argmin(work, axis=1)
+            kth32 = work[arc, jj]
+            if j + 1 < kk:
+                work[arc, jj] = np.inf
+        mrows, mcols = np.nonzero(d2f <= (kth32 + _F32_MARGIN)[:, None])
+        pr = P[r[mrows]]
+        sv = S_xyz[mcols]
+        d2e = 2.0 - 2.0 * (
+            pr[:, 0] * sv[:, 0] + pr[:, 1] * sv[:, 1] + pr[:, 2] * sv[:, 2]
+        )
+        order = np.lexsort((mcols, d2e, mrows))
+        mr = mrows[order]
+        starts = np.flatnonzero(np.r_[True, mr[1:] != mr[:-1]])
+        rank = np.arange(len(mr)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(mr)])
+        )
+        keep = rank < kk
+        out_idx[r[mr[keep]], rank[keep]] = mcols[order][keep].astype(
+            np.float64
+        )
+        out_d2[r[mr[keep]], rank[keep]] = np.maximum(d2e[order][keep], 0.0)
+
+
 def _station_struct(stations: DataFrame) -> Column:
     """station struct with precomputed unit-sphere coords appended."""
     x, y, z = _xyz(F.col("st_lat"), F.col("st_lon"))
@@ -447,9 +685,9 @@ def _knn_arrow_idx(
     s_xyz = np.stack(
         [np.cos(rp) * np.cos(rl), np.cos(rp) * np.sin(rl), np.sin(rp)], axis=1
     )  # (S, 3)
-    cand_by_cell = build_cell_candidates(s_lat, s_lon, res=res, ring=ring)
+    knn_index, res_f = build_knn_index(s_lat, s_lon, s_xyz, k, res, ring)
     sc = images.sparkSession.sparkContext
-    bc = sc.broadcast((s_xyz, s_ids, cand_by_cell))
+    bc = sc.broadcast((s_xyz, s_ids, knn_index, res_f))
     kk = min(k, len(st_rows))
 
     # fixed-width struct i0,d0,i1,d1,… — returned as a pd.DataFrame of flat
@@ -468,12 +706,10 @@ def _knn_arrow_idx(
 
     @F.pandas_udf(out_t)
     def _topk_idx(plat: pd.Series, plon: pd.Series) -> pd.DataFrame:
-        S, ids, cand = bc.value
+        S, ids, index, rf = bc.value
         lat_v = plat.to_numpy(np.float64, na_value=np.nan)
         lon_v = plon.to_numpy(np.float64, na_value=np.nan)
-        idx, d2v = topk_bucketed_np(
-            lat_v, lon_v, S, ids, cand, kk, res=res, ring=ring
-        )
+        idx, d2v = topk_indexed_np(lat_v, lon_v, S, ids, index, kk, rf)
         cols: dict[str, np.ndarray] = {}
         for j in range(kk):
             cols[f"i{j}"] = idx[:, j]
