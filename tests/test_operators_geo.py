@@ -567,17 +567,17 @@ def test_dated_weather_packed_duplicates_and_null_dates(spark):
 
 def test_packed_obs_generator_equals_pack_build(spark):
     """geotables.weather_observations_packed (the direct per-station
-    generator — no explode + re-group shuffle) must be row-for-row
-    identical to pack_observations() over the row dim: same payload
-    arithmetic/types, same struct field order, same date sort, dense
-    everywhere."""
+    generator — no explode + re-group shuffle; r8: columnar layout) must
+    be row-for-row identical to pack_observations_columnar() over the row
+    dim: same payload arithmetic/types, same column order, same date
+    sort, dense everywhere."""
     from tiff_enrichment_pipeline_spark.operators.knn_join import (
-        pack_observations,
+        pack_observations_columnar,
     )
 
     sf = "/root/testdata/sf0.001"
     direct = geotables.weather_observations_packed(spark, sf)
-    built = pack_observations(
+    built = pack_observations_columnar(
         geotables.weather_observations(spark, sf).withColumnRenamed(
             "obs_date", "weather_historical_date"
         )
@@ -593,6 +593,59 @@ def test_packed_obs_generator_equals_pack_build(spark):
     for sid in d:
         assert d[sid] == b[sid], sid
         assert d[sid]["_obs_dense"] is True
+
+
+def test_packed_obs_columnar_lookup_equals_v1(spark):
+    """The columnar (v2) packed layout + lookup must reproduce the v1
+    array-of-structs results exactly — including SPARSE stations (every
+    3rd day only → non-dense path), duplicate dates (first-in-sorted-
+    order contract) and out-of-span probe dates (NULL payloads)."""
+    from pyspark.sql import functions as F
+
+    from tiff_enrichment_pipeline_spark.operators.knn_join import (
+        pack_observations,
+        pack_observations_columnar,
+        packed_obs_lookup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    obs = geotables.weather_observations(spark, sf).withColumnRenamed(
+        "obs_date", "weather_historical_date"
+    )
+    # sparse: keep every 3rd day; duplicate one (station, date) key with a
+    # different payload so the first-in-sorted-order contract is exercised
+    sparse = obs.filter(
+        F.datediff(
+            F.col("weather_historical_date"),
+            F.lit(geotables.OBS_START).cast("date"),
+        )
+        % 3
+        == 0
+    )
+    dup = sparse.limit(1).withColumn("obs_temp_c", F.lit(99.0))
+    sparse = sparse.unionByName(dup)
+    probe = (
+        geotables.images_geo(spark, sf)
+        .select(
+            "image_id",
+            F.to_date("captured_at").alias("weather_historical_date"),
+        )
+        .withColumn(
+            "station_id",
+            (F.col("image_id") % 100 + 1).cast("long"),
+        )
+    )
+    v1 = packed_obs_lookup(probe, pack_observations(sparse))
+    v2 = packed_obs_lookup(probe, pack_observations_columnar(sparse))
+    a = {r["image_id"]: tuple(r) for r in v1.collect()}
+    b = {r["image_id"]: tuple(r) for r in v2.collect()}
+    assert a == b and len(a) > 0
+    # sanity: the sparse fixture really took the non-dense path
+    dense_flags = [
+        r["_obs_dense"]
+        for r in pack_observations_columnar(sparse).collect()
+    ]
+    assert not any(dense_flags)
 
 
 def test_dated_weather_packed_obs_param(spark):

@@ -198,27 +198,45 @@ def weather_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def weather_observations_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def weather_observations_packed(
+    spark: SparkSession,
+    sf_dir: str,
+    span_of: DataFrame | None = None,
+    span_ts: str = "captured_at",
+) -> DataFrame:
     """The materialized-pack form of :func:`weather_observations`: the same
-    (station_id, date)-keyed values generated DIRECTLY as the per-station
-    date-sorted entries array that
-    ``operators.knn_join.pack_observations`` would build — skipping the
-    row-dim round trip entirely (explode to |stations|×|days| rows, then
-    groupBy(station_id) shuffle + collect_list back to one row per
-    station). Schema: ``PACKED_OBS_COLS`` = (station_id, _obs_lo,
-    _obs_hi, _obs_entries, _obs_dense).
+    (station_id, date)-keyed values generated DIRECTLY in the per-station
+    packed layout that ``operators.knn_join.pack_observations_columnar``
+    would build — skipping the row-dim round trip entirely (explode to
+    |stations|×|days| rows, then groupBy(station_id) shuffle +
+    collect_list back to one row per station). Schema:
+    ``PACKED_OBS_V2_COLS`` + ``_obsv_obs_temp_c`` / ``_obsv_obs_wind_ms``
+    / ``_obsv_obs_precip_mm`` primitive double arrays (r8 columnar form —
+    the array-of-structs layout broadcast ~48 B per observation, 1.2 GB
+    at the sf1.0 shape, and its repeated cold builds GC-thrashed the
+    local-mode JVM; primitive arrays pack ~3× smaller, values identical).
 
     This models the production shape VERDICT r5 #3 asks for: the packed
     observation dimension maintained as its own (small) table, built once
-    and reused by every dated consumer, rather than re-aggregated from
-    the row dim inside each query. Dense by construction (one struct per
-    consecutive day via sequence), so ``_obs_dense`` is a literal True
-    and the O(1) array-index lookup path always applies.
-    Value-equality with ``pack_observations(weather_observations(...))``
-    — including payload arithmetic types, struct field order, and date
-    sort — is pinned by tests/test_operators_geo.py."""
+    and reused by every dated consumer. Dense by construction (one value
+    per consecutive day via sequence), so ``_obs_dense`` is a literal
+    True, ``_obs_days`` a literal NULL, and the O(1) array-index lookup
+    always applies. Value-equality with
+    ``pack_observations_columnar(weather_observations(...))`` is pinned
+    by tests/test_operators_geo.py.
+
+    ``span_of`` (r8): clamp the packed history to the LAZY
+    [min, max] of ``to_date(span_of[span_ts])`` — the exact-preserving
+    prune of nearest_station_dated's ``prune_obs_dates``, applied at
+    generation time so out-of-span entries are never even built (the
+    probe's span covers every date the LEFT join can match; clamped-out
+    dates resolve to NULL payloads either way). The span aggregate rides
+    a broadcast 1-row crossJoin, so it runs inside the consuming query's
+    own execution — no hidden build-time job. At the sf1.0 shape the
+    orders corpus spans 57% of the observation history → ~43% fewer
+    bytes built, collected and broadcast."""
     # the station source is one parquet row group → one task; without the
-    # repartition ALL |stations| entry arrays (|days| structs each) are
+    # repartition ALL |stations| entry arrays (|days| values each) are
     # built serially before the broadcast collect (measured 1.8× slower
     # whole-query at sf0.1)
     st = (
@@ -226,29 +244,47 @@ def weather_observations_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("station_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    lo_g = F.lit(OBS_START).cast("date")
+    hi_g = F.lit(OBS_END).cast("date")
+    if span_of is not None:
+        span = span_of.select(
+            F.min(F.to_date(F.col(span_ts))).alias("_span_lo"),
+            F.max(F.to_date(F.col(span_ts))).alias("_span_hi"),
+        )
+        st = st.crossJoin(F.broadcast(span))
+        lo = F.greatest(lo_g, F.col("_span_lo"))
+        hi = F.least(hi_g, F.col("_span_hi"))
+    else:
+        lo, hi = lo_g, hi_g
     sid = F.col("station_id")
-    lo = F.lit(OBS_START).cast("date")
-    hi = F.lit(OBS_END).cast("date")
-    # same integer-arithmetic payload as weather_observations, with the
-    # sequence index i standing in for datediff(obs_date, OBS_START)
-    entries = F.transform(
-        F.sequence(F.lit(0), F.datediff(hi, lo)),
-        lambda i: F.struct(
-            F.date_add(lo, i).alias("d"),
-            (((sid * 131 + i * 17) % 600) / F.lit(10.0) - 20.0).alias(
-                "obs_temp_c"
-            ),
-            (((sid * 37 + i * 11) % 250) / F.lit(10.0)).alias("obs_wind_ms"),
-            (((sid * 53 + i * 7) % 80) / F.lit(10.0)).alias("obs_precip_mm"),
-        ),
-    )
-    return st.select(
+    n = F.datediff(hi, lo)  # NULL (empty span) or negative (no overlap)
+    ok = n.isNotNull() & (n >= 0)
+    # payload arithmetic is keyed on days since OBS_START; with a clamped
+    # lo the sequence index i maps to day-number i + off
+    off = F.datediff(lo, lo_g)
+    seq = F.when(ok, F.sequence(F.lit(0), n))
+
+    def _vals(expr):
+        return F.transform(seq, expr)
+
+    out = st.select(
         "station_id",
-        lo.alias("_obs_lo"),
-        hi.alias("_obs_hi"),
-        entries.alias("_obs_entries"),
+        F.when(ok, lo).alias("_obs_lo"),
+        F.when(ok, hi).alias("_obs_hi"),
         F.lit(True).alias("_obs_dense"),
+        F.lit(None).cast("array<int>").alias("_obs_days"),
+        _vals(
+            lambda i: ((sid * 131 + (i + off) * 17) % 600) / F.lit(10.0)
+            - 20.0
+        ).alias("_obsv_obs_temp_c"),
+        _vals(
+            lambda i: ((sid * 37 + (i + off) * 11) % 250) / F.lit(10.0)
+        ).alias("_obsv_obs_wind_ms"),
+        _vals(
+            lambda i: ((sid * 53 + (i + off) * 7) % 80) / F.lit(10.0)
+        ).alias("_obsv_obs_precip_mm"),
     )
+    return out
 
 
 def weather_observations_sql() -> str:

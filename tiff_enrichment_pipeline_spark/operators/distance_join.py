@@ -19,20 +19,20 @@ This is the Spark-native equivalent (SURVEY.md J8's general form):
    on uniformly-hashed cells for build tables beyond broadcast size
    (``broadcast_build=False``); geographic probe hot-cells never become
    shuffle keys on the broadcast path.
-3. **Refine**: squared-chord prefilter (8 flops/pair, no trig — both sides
-   carry precomputed unit-sphere xyz; the threshold over-covers by 1e-9
-   relative so no true pair can be lost — r8), then the exact haversine
-   ≤ radius predicate (pure codegen, wrap-safe — sin² of the half
-   longitude difference is 360°-periodic). The output distance and the
-   accept/reject boundary come ONLY from the haversine, so results are
-   bit-identical to the unprefixed form.
+3. **Refine**: exact haversine ≤ radius (pure codegen, wrap-safe — sin² of
+   the half longitude difference is 360°-periodic).
 
 Exact by construction for any ``res``: the cover is a superset of the
 disk, the refine is the true predicate. ``res`` only trades cover-table
-size against candidate count (r8: default 11 — at 10 the candidate set
-per probe was ~2.3× the disk's true neighbor count; measured at the
-sf1.0 shape the finer cover + cell prune + chord prefilter together cut
-the refine work ~2.5×).
+size against candidate count. r8 measurements at the sf1.0 shape
+(1.5M probes × 10k stations, 241M result pairs): res 11 + the cell
+prune = 7.1 s warm vs 9.0 s for the r7 shape (res 10, bbox cover);
+res 12/13 are no better (cover build and broadcast grow faster than the
+candidate set shrinks). A squared-chord prefilter ahead of the haversine
+(precomputed unit-sphere xyz on both sides) was built, measured at
++5 s — SLOWER despite evaluating ~45% less trig, at either res — and
+removed; the per-pair trig is not the binding cost at this shape, the
+join's row pumping is.
 """
 
 from __future__ import annotations
@@ -46,7 +46,6 @@ from tiff_enrichment_pipeline_spark import grid
 from tiff_enrichment_pipeline_spark.functions.geo import haversine_m
 
 M_PER_DEG = 2.0 * math.pi * 6371000.0 / 360.0
-EARTH_R = 6371000.0
 # longitude bbox safety: the exact cap-bounding Δλ = asin(sin(r/R)/cos φ)
 # exceeds the small-angle (r/R)/cos φ by O((r/R)³); 1% covers any radius
 # the cell cover can sensibly serve
@@ -129,46 +128,16 @@ def within_distance_join(
         )
         .drop("_ixr", "_iy")
     )
-    # squared-chord prefilter (r8): both sides carry unit-sphere xyz; the
-    # pair test (Δx²+Δy²+Δz² ≤ chord²(radius)·(1+1e-9)) is trig-free and
-    # strictly a superset of haversine ≤ radius (chord is monotone in
-    # great-circle distance; the 1e-9 relative slack dwarfs the ~1e-15
-    # evaluation error), so the exact haversine refine that follows keeps
-    # the accept boundary and the output distance unchanged.
-    chord2_thr = (2.0 * math.sin(radius_m / (2.0 * EARTH_R))) ** 2 * (1 + 1e-9)
-
-    def _xyz(lat_c, lon_c):
-        rp, rl = F.radians(lat_c), F.radians(lon_c)
-        return (
-            F.cos(rp) * F.cos(rl),
-            F.cos(rp) * F.sin(rl),
-            F.sin(rp),
-        )
-
-    sx, sy, sz = _xyz(blat, blon)
-    cover = (
-        cover.withColumn("_sx", sx).withColumn("_sy", sy).withColumn("_sz", sz)
-    )
     if broadcast_build:
         cover = F.broadcast(cover)
 
-    px, py, pz = _xyz(F.col(probe_lat), F.col(probe_lon))
-    probed = (
-        probe.withColumn(
-            "_cell", grid.cell_of(F.col(probe_lon), F.col(probe_lat), res)
-        )
-        .withColumn("_px", px)
-        .withColumn("_py", py)
-        .withColumn("_pz", pz)
+    probed = probe.withColumn(
+        "_cell", grid.cell_of(F.col(probe_lon), F.col(probe_lat), res)
     )
-    dx = F.col("_px") - F.col("_sx")
-    dy = F.col("_py") - F.col("_sy")
-    dz = F.col("_pz") - F.col("_sz")
-    prefilter = (dx * dx + dy * dy + dz * dz) <= F.lit(chord2_thr)
     d = haversine_m(
         F.col(probe_lat), F.col(probe_lon), F.col(build_lat), F.col(build_lon)
     )
-    refine = prefilter & (d <= F.lit(radius_m))
+    refine = d <= F.lit(radius_m)
     if salt is not None and not broadcast_build:
         if probe_id is None:
             raise ValueError("salted within_distance_join needs probe_id")

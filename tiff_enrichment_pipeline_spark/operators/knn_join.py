@@ -439,6 +439,41 @@ def build_knn_index(
     return out, res_f
 
 
+#: per-worker grow-only scratch buffers (guide §4.5 heavyweight-state
+#: pattern). Why: on this class of virtualized host, FIRST-TOUCH page
+#: faults on fresh large allocations are orders of magnitude slower than
+#: reuse (measured in-worker: a plain 160 MB numpy fill took 31 s on
+#: first touch across 32 concurrent workers — ~5 MB/s — while warmed
+#: pages run at full DRAM speed; the r7 record's 18.8→122 s knn spreads
+#: and retried runs are this effect). Allocating the kernel's big
+#: matrices once per worker and reusing them across batches/tasks/
+#: queries (workers are reused: spark.python.worker.reuse default) pays
+#: the fault cost once per worker instead of once per batch. The pool is
+#: keyed by buffer name; shapes only ever grow; a PID guard resets it
+#: after fork so children never share a parent's arrays.
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, shape: tuple, dtype) -> "np.ndarray":
+    import os
+
+    if _SCRATCH.get("_pid") != os.getpid():
+        _SCRATCH.clear()
+        _SCRATCH["_pid"] = os.getpid()
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.dtype != np.dtype(dtype) or any(
+        b < s for b, s in zip(buf.shape, shape)
+    ):
+        grown = (
+            tuple(max(b, s) for b, s in zip(buf.shape, shape))
+            if buf is not None and buf.dtype == np.dtype(dtype)
+            else shape
+        )
+        buf = np.empty(grown, dtype)
+        _SCRATCH[name] = buf
+    return buf[tuple(slice(0, s) for s in shape)]
+
+
 def topk_indexed_np(
     lat_v: "np.ndarray",
     lon_v: "np.ndarray",
@@ -497,15 +532,30 @@ def topk_indexed_np(
             continue
         seg_rows.append(rows)
         seg_cand.append(cand)
-    if seg_rows:
-        mb = max(len(c) for c in seg_cand)
-        bn = sum(len(r) for r in seg_rows)
-        rix = np.concatenate(seg_rows)
-        d2buf = np.empty((bn, mb))
-        gc = np.zeros((len(seg_cand), mb), dtype=np.int64)
+    # pooled pass in ROW CHUNKS of ~4096: bounds the padded (rows × mb)
+    # buffer (pool first-touch cost — see _SCRATCH) and pads each chunk
+    # only to ITS widest segment instead of the batch-wide maximum
+    # (the r7-ADVICE padding concern: one dense cell no longer inflates
+    # every row's padding)
+    chunk_target = 4096
+    g0 = 0
+    while g0 < len(seg_rows):
+        g1 = g0
+        bn = 0
+        while g1 < len(seg_rows) and (bn == 0 or bn + len(seg_rows[g1]) <= chunk_target):
+            bn += len(seg_rows[g1])
+            g1 += 1
+        c_rows = seg_rows[g0:g1]
+        c_cand = seg_cand[g0:g1]
+        g0 = g1
+        mb = max(len(c) for c in c_cand)
+        rix = np.concatenate(c_rows)
+        d2buf = _scratch("d2buf", (bn, mb), np.float64)
+        gc = _scratch("gc", (len(c_cand), mb), np.int64)
+        gc[: len(c_cand), :mb] = 0
         gidx = np.empty(bn, dtype=np.int64)
         pos = 0
-        for g, (rows, cand) in enumerate(zip(seg_rows, seg_cand)):
+        for g, (rows, cand) in enumerate(zip(c_rows, c_cand)):
             cw = len(cand)
             # identical float ops to the ring formulation: BLAS (rows,3)
             # @ (3,cw) on the un-padded candidate slice
@@ -544,13 +594,26 @@ def _fallback_f32_scan(rows, P, S_xyz, kk, out_idx, out_d2):
     Tie-break: lexsort minor key is the ascending station position ==
     ascending id. No per-row Python, no second full scan."""
     S32 = S_xyz.T.astype(np.float32)
-    CH = 4096  # bound the fp32 scan matrix to (4096 × |S|) per pass
+    # chunk rows: bounds the pooled fp32 matrices to (1024 × |S|) ≈ 40 MB
+    # at 10k stations — the pool's one-time first-touch cost per worker
+    # scales with the arena, so smaller is better as long as the GEMM
+    # stays efficient (row dim 1024 is plenty)
+    CH = 1024
     for c0 in range(0, len(rows), CH):
         r = rows[c0 : c0 + CH]
-        d2f = np.float32(2.0) - np.float32(2.0) * (
-            P[r].astype(np.float32) @ S32
-        )
-        work = d2f.copy()
+        # pooled buffers + in-place ops: same float ops in the same order
+        # as `2 - 2*(P@S32)` (multiply then subtract, no FMA), zero fresh
+        # large allocations per chunk (first-touch faults dominate here —
+        # see _SCRATCH)
+        # width baked into the key: np.matmul(out=) needs a C-contiguous
+        # target, which a row-prefix slice only is at full trailing width
+        s_n = S_xyz.shape[0]
+        d2f = _scratch(f"fb_d2f_{s_n}", (len(r), s_n), np.float32)
+        np.matmul(P[r].astype(np.float32), S32, out=d2f)
+        np.multiply(d2f, np.float32(2.0), out=d2f)
+        np.subtract(np.float32(2.0), d2f, out=d2f)
+        work = _scratch(f"fb_work_{s_n}", d2f.shape, np.float32)
+        np.copyto(work, d2f)
         arc = np.arange(len(r))
         kth32 = None
         for j in range(kk):
@@ -558,7 +621,9 @@ def _fallback_f32_scan(rows, P, S_xyz, kk, out_idx, out_d2):
             kth32 = work[arc, jj]
             if j + 1 < kk:
                 work[arc, jj] = np.inf
-        mrows, mcols = np.nonzero(d2f <= (kth32 + _F32_MARGIN)[:, None])
+        mask = _scratch(f"fb_mask_{s_n}", d2f.shape, np.bool_)
+        np.less_equal(d2f, (kth32 + _F32_MARGIN)[:, None], out=mask)
+        mrows, mcols = np.nonzero(mask)
         pr = P[r[mrows]]
         sv = S_xyz[mcols]
         d2e = 2.0 - 2.0 * (
@@ -769,6 +834,115 @@ def knn_nearest(
 PACKED_OBS_COLS = ("station_id", "_obs_lo", "_obs_hi", "_obs_entries",
                    "_obs_dense")
 
+#: fixed columns of the columnar (struct-of-arrays) packed layout (r8);
+#: payload columns ride as ``_obsv_<name>`` arrays alongside these
+PACKED_OBS_V2_COLS = ("station_id", "_obs_lo", "_obs_hi", "_obs_dense",
+                      "_obs_days")
+
+
+def _packed_layout(packed: DataFrame) -> str:
+    """'v1' (array-of-structs), 'v2' (struct-of-arrays) or raises."""
+    cols = set(packed.columns)
+    if set(PACKED_OBS_COLS) <= cols:
+        return "v1"
+    if set(PACKED_OBS_V2_COLS) <= cols and any(
+        c.startswith("_obsv_") for c in packed.columns
+    ):
+        return "v2"
+    raise ValueError(
+        "packed dim has neither the pack_observations (v1) nor the "
+        "pack_observations_columnar (v2) schema — build it with one of "
+        "those"
+    )
+
+
+def pack_observations_columnar(
+    observations: DataFrame,
+    date_col: str = "weather_historical_date",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Columnar (struct-of-arrays) twin of :func:`pack_observations` — the
+    same per-station aggregation, but the payload lands in ONE primitive
+    array per column (``_obsv_<name>``) instead of an array of structs.
+
+    Why (r8): the broadcast hash relation for the array-of-structs layout
+    carries ~48 B per observation (8 B offset/size + an UnsafeRow per
+    element) — 1.2 GB at the 10k-station × 2557-day shape, and repeated
+    cold builds of it GC-thrashed the local-mode JVM (measured: the dated
+    query's reps RISING 34→48→56 s as relations accumulated). Primitive
+    double arrays are 8 B/element with one header per station: the same
+    dimension packs ~3× smaller and builds ~3× faster, values identical.
+
+    Schema: ``PACKED_OBS_V2_COLS`` + one ``_obsv_<col>`` array per payload
+    column. ``_obs_days`` (int day offsets from ``_obs_lo``, date-sorted)
+    is NULL for dense stations — the dense lookup indexes by
+    ``datediff(date, _obs_lo)`` directly; sparse/duplicate-date stations
+    use array_position over ``_obs_days`` (first occurrence == first in
+    date-sorted order, the same duplicate-key contract as v1).
+    NULL-dated rows are dropped exactly as in v1."""
+    payload = (
+        payload_cols
+        if payload_cols is not None
+        else [
+            c
+            for c in observations.columns
+            if c not in ("station_id", date_col)
+        ]
+    )
+    if "d" in payload:
+        raise ValueError(
+            "pack_observations reserves the struct field name 'd' for the "
+            "observation date; rename the payload column 'd' first"
+        )
+    missing = [c for c in payload if c not in observations.columns]
+    if missing:
+        raise ValueError(f"payload_cols not in observations: {missing}")
+    packed = (
+        observations.filter(F.col(date_col).isNotNull())
+        .groupBy("station_id")
+        .agg(
+            F.min(date_col).alias("_obs_lo"),
+            F.max(date_col).alias("_obs_hi"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(date_col).alias("d"),
+                        *[F.col(c) for c in payload],
+                    )
+                )
+            ).alias("_e"),
+        )
+    )
+    n_dates = F.size(
+        F.array_distinct(F.transform(F.col("_e"), lambda e: e["d"]))
+    )
+    dense = (
+        F.size("_e") == F.datediff("_obs_hi", "_obs_lo") + F.lit(1)
+    ) & (n_dates == F.size("_e"))
+    return packed.select(
+        "station_id",
+        "_obs_lo",
+        "_obs_hi",
+        dense.alias("_obs_dense"),
+        F.when(
+            ~dense,
+            F.transform(
+                F.col("_e"),
+                lambda e: F.datediff(e["d"], F.col("_obs_lo")).cast("int"),
+            ),
+        ).alias("_obs_days"),
+        *[_field_array(c) for c in payload],
+    )
+
+
+def _field_array(cname: str):
+    """array of one struct field over ``_e`` — a closure factory because
+    F.transform treats a 2-arg lambda as (element, index), so the usual
+    ``lambda e, c=c:`` default-arg capture cannot be used here."""
+    return F.transform(F.col("_e"), lambda e: e[cname]).alias(
+        f"_obsv_{cname}"
+    )
+
 
 def pack_observations(
     observations: DataFrame,
@@ -969,7 +1143,13 @@ def nearest_station_dated(
                 .drop("_span_lo", "_span_hi")
             )
     if broadcast_obs and (pack_obs or packed_obs is not None):
-        packed = packed_obs if packed_obs is not None else pack_observations(obs)
+        # inline pack: the columnar layout (r8) — ~3× smaller broadcast,
+        # same values; a pre-built packed_obs may be either layout
+        packed = (
+            packed_obs
+            if packed_obs is not None
+            else pack_observations_columnar(obs)
+        )
         return packed_obs_lookup(probe, packed)
     if broadcast_obs:
         obs = F.broadcast(obs)
@@ -990,8 +1170,11 @@ def packed_obs_lookup(
     serves every dated consumer (VERDICT r5 #3). Returns probe columns +
     the packed payload columns; probes whose date misses resolve to NULL
     payloads exactly like a row-level LEFT equi-join."""
+    layout = _packed_layout(packed)
     reserved = {"_obs_lo", "_obs_hi", "_obs_entries", "_obs_dense",
-                "_obs_hit"}
+                "_obs_hit", "_obs_days"} | {
+        c for c in packed.columns if c.startswith("_obsv_")
+    } | ({"_obs_pos"} if layout == "v2" else set())
     clash = reserved & set(probe.columns)
     if clash:
         raise ValueError(
@@ -999,11 +1182,30 @@ def packed_obs_lookup(
             f"{sorted(reserved)}; probe already has {sorted(clash)} — "
             "rename them first"
         )
-    missing_cols = set(PACKED_OBS_COLS) - set(packed.columns)
-    if missing_cols:
-        raise ValueError(
-            f"packed dim missing {sorted(missing_cols)} — build it with "
-            "pack_observations()"
+    whd = F.col(date_col)
+    if layout == "v2":
+        payload = [c[len("_obsv_"):] for c in packed.columns
+                   if c.startswith("_obsv_")]
+        out = probe.join(F.broadcast(packed), "station_id", "left")
+        idx = F.datediff(whd, F.col("_obs_lo"))
+        # F.get returns NULL out-of-bounds/negative (never throws under
+        # ANSI) → out-of-span dates resolve to NULL payloads exactly like
+        # the row-level LEFT join. Sparse stations: array_position's
+        # FIRST-occurrence rule == first in date-sorted order, the v1
+        # duplicate-key contract.
+        pos = F.when(
+            F.col("_obs_dense"), idx
+        ).otherwise(
+            F.array_position(F.col("_obs_days"), idx).cast("int") - F.lit(1)
+        )
+        keep = [c for c in out.columns if c not in reserved]
+        out = out.withColumn("_obs_pos", pos)
+        return out.select(
+            *keep,
+            *[
+                F.get(F.col(f"_obsv_{c}"), F.col("_obs_pos")).alias(c)
+                for c in payload
+            ],
         )
     payload = [
         f
@@ -1013,7 +1215,6 @@ def packed_obs_lookup(
     out = probe.join(
         F.broadcast(packed.select(*PACKED_OBS_COLS)), "station_id", "left"
     )
-    whd = F.col(date_col)
     # F.get returns NULL out-of-bounds (never throws under ANSI),
     # so out-of-span dates resolve to NULL payloads exactly like
     # the row-level LEFT join

@@ -135,14 +135,14 @@ def enrich(
         geo = geo.withColumn("weather_historical_date", F.to_date(F.col(ts)))
         if broadcast_obs:
             from tiff_enrichment_pipeline_spark.operators.knn_join import (
-                pack_observations,
+                pack_observations_columnar,
                 packed_obs_lookup,
             )
 
             packed = (
                 packed_obs
                 if packed_obs is not None
-                else pack_observations(
+                else pack_observations_columnar(
                     observations.withColumnRenamed(
                         "obs_date", "weather_historical_date"
                     )

@@ -207,8 +207,10 @@ def q_knn_weather_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = geotables.stations(spark, sf_dir)
     # the materialized per-station pack (geotables docstring): skips the
     # per-query explode + groupBy re-aggregation of the row dim — the
-    # production reuse shape, and measured ~1.3× on the sf0.1 bench
-    packed = geotables.weather_observations_packed(spark, sf_dir)
+    # production reuse shape, and measured ~1.3× on the sf0.1 bench.
+    # span_of clamps the packed history to the probe's own date range
+    # (lazy, exact-preserving — r8): ~43% fewer broadcast bytes at sf1.0
+    packed = geotables.weather_observations_packed(spark, sf_dir, span_of=img)
     out = nearest_station_dated(img, st, packed_obs=packed)
     return out.select(
         "image_id",
@@ -2054,7 +2056,10 @@ def q_enrich_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         landcover=geotables.landcover_polygons(spark),
         stations=geotables.stations(spark, sf_dir),
         dem_tiles=dem_tiles_df(spark),
-        packed_obs=geotables.weather_observations_packed(spark, sf_dir),
+        packed_obs=geotables.weather_observations_packed(
+            spark, sf_dir,
+            span_of=geotables.images_geo(spark, sf_dir).select("captured_at"),
+        ),
     )
     return out.select(
         "image_id",
