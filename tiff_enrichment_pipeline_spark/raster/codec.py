@@ -37,7 +37,7 @@ The input table (BASELINE.json input_hint) carries pixels as an opaque
   (the DEM source) and float Predictor 3 (TechNote-3 byte shuffle,
   GDAL's compressed-DEM default). Late r7 adds 4-sample containers:
   RGBA (photometric 2 + ExtraSamples 338 — the luma reducer ignores
-  alpha) and CMYK (photometric 5, exact integer ink→RGB per §16).
+  alpha), CMYK (photometric 5, exact integer ink→RGB per §16)
   and palette (photometric 3 + ColorMap 320 — land-cover
   classification rasters; indices map through the 16-bit colormap to
   exact BT.601 luma, and are REJECTED as gray bands). Remaining exotic
@@ -903,8 +903,10 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     (SamplesPerPixel 3) in both chunky (PlanarConfiguration 1) and
     separate-plane (PlanarConfiguration 2, r7) layouts — returns
     (h, w, 3) for RGB.
-    Raises NotImplementedError on variants outside that profile
-    (JPEG-in-TIFF, planar RGB, CMYK/extra samples) so ``decode`` can
+    Raises NotImplementedError on variants outside that profile —
+    as of r7 the remainder is old-style Compression-6 JPEG and integer
+    Predictor 3 (JPEG-in-TIFF, planar RGB, CMYK/extra samples and
+    palette all decode here) — so ``decode`` can
     route those to the optional-Pillow fallback. Geo metadata (when the GeoTIFF
     tags are present): ``pixel_scale``, ``tiepoint``, ``origin``,
     ``epsg``, ``model_type``, ``raster_type``."""
@@ -967,11 +969,19 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     tiled = 322 in tags or 324 in tags  # TileWidth/TileOffsets
     try:
         w, h = tags[256][0], tags[257][0]
-        # dimension sanity (r7 fuzz): a corrupt dim field must not drive
-        # a planet-sized allocation; 2^26 px = 128 MB u16 is far beyond
-        # any band/tile payload this engine carries
+        # dimension sanity (r7 fuzz; r8 per ADVICE): a corrupt dim field
+        # must not drive a planet-sized allocation, but a FIXED 2^26-px
+        # cap also rejected legitimate large GeoTIFFs (a USGS 3DEP
+        # 1/3-arcsec DEM is 10812² ≈ 117 MP). Bound the pixel count
+        # against the actual payload instead: deflate/LZW top out near
+        # ~1032:1, so 4096 px per payload byte (u16 → ratio 8192:1) can
+        # only be exceeded by a corrupt header; tiny fuzzed payloads
+        # still reject giant dims, real compressed rasters of any size
+        # pass. 2^30 px (2 GiB u16) stays the absolute allocation
+        # ceiling.
+        px_cap = max(1 << 26, min(len(payload) * 4096, 1 << 30))
         if not (0 < w <= (1 << 20) and 0 < h <= (1 << 20)
-                and w * h <= (1 << 26)):
+                and w * h <= px_cap):
             raise ValueError(f"TIFF dimensions implausible ({w}x{h})")
         if tiled:
             offs, cnts = tags[324], tags[325]
@@ -1435,6 +1445,10 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     try:
         return _decode_any(payload, w, h, fmt)
     except (ValueError, NotImplementedError):
+        raise
+    except (MemoryError, AssertionError):
+        # resource exhaustion / genuine bugs must not be silently filed
+        # as bad data by quarantine routing (ADVICE r7)
         raise
     except Exception as e:
         raise ValueError(

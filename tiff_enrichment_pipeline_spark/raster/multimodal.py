@@ -14,10 +14,12 @@ Formats (see raster/codec.py for the image ones):
 - images : ``raw-u16`` / ``lossy-q12`` / ``png`` / baseline ``tiff`` /
   ``jpeg`` (grayscale + YCbCr 4:4:4/4:2:2/4:2:0 + restart intervals,
   baseline SOF0 and progressive SOF2) all REAL (pure-stdlib codecs);
-  LZW/tiled/BigTIFF decode stdlib-side too (r6); the remaining
-  exotics (JPEG-in-TIFF, RGB TIFF, arithmetic/12-bit-color JPEG)
-  stay Pillow-gated → NotImplementedError (12-bit GRAY JPEG decodes
-  stdlib-side, r6)
+  the r6/r7 container matrix decodes stdlib-side too: LZW / tiled /
+  BigTIFF / PackBits / planar / predictor-3, RGB / RGBA / CMYK /
+  palette TIFF, JPEG-in-TIFF (gray + color), 12-bit and direct-RGB
+  JPEG, non-integer sampling. Still gated → NotImplementedError:
+  arithmetic-coded JPEG and old-style Compression-6 JPEG-in-TIFF
+  (spec-constant rule — see codec.py header, the accurate gate list)
 - video  : ``rawvid-u16`` — n_frames raw-u16 frames concatenated
   (deterministic fake container); mp4/h264 → NotImplementedError
 - audio  : ``pcm-s16le`` — mono int16 little-endian (headerless; the
@@ -472,6 +474,25 @@ AUDIO_SCHEMA = (
 AUDIO_STATUS_SCHEMA = AUDIO_SCHEMA + ", decode_status string"
 
 
+def _decode_audio_normalized(
+    payload: bytes, fmt: str
+) -> tuple[np.ndarray, int | None]:
+    """`_decode_audio` behind the same except-Exception→ValueError
+    normalization `codec.decode` uses (ADVICE r7): a pathological stream
+    hitting an unanticipated numpy/struct edge case must classify as
+    'corrupt' under quarantine, not kill the task. MemoryError and
+    AssertionError re-raise — those are resource exhaustion / real bugs,
+    not bad data."""
+    try:
+        return _decode_audio(payload, fmt)
+    except (ValueError, NotImplementedError, MemoryError, AssertionError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"corrupt {fmt} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
 def extract_audio_features(
     audio: DataFrame, quarantine: bool = False
 ) -> DataFrame:
@@ -498,7 +519,7 @@ def extract_audio_features(
             ):
                 out["audio_id"].append(aid)
                 try:
-                    x, container_rate = _decode_audio(
+                    x, container_rate = _decode_audio_normalized(
                         bytes(payload), str(fmt)
                     )
                 except (ValueError, NotImplementedError) as e:

@@ -49,6 +49,12 @@ def get_spark(
         # "inherit": spark-submit / an existing session decides the master
         # (forcing local[N] would override a submitted cluster master)
         builder = builder.master(master)
+    # Scan split size stays at the 128 MB default: the sandbox testdata
+    # ships one file per table with few row groups (lineitem 131 MB / 6
+    # groups), so scans get 1-2 tasks — but an 8 MB split A/B at sf1.0
+    # (r8) moved capture_assembly/status_summary/percentiles by < noise;
+    # the aggregation shuffles dominate, not the scan. Revisit only if a
+    # future fixture ships many row groups.
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
