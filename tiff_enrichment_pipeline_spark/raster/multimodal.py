@@ -98,12 +98,17 @@ def resize_bilinear_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarr
     i0 = np.clip(np.floor(fx), 0, w - 2).astype(np.int64)
     wy = np.clip(fy - j0, 0.0, 1.0)[:, None]
     wx = np.clip(fx - i0, 0.0, 1.0)[None, :]
-    g = stack.astype(np.float64)
+    # gather the 4 corner planes from the u16 stack FIRST, then widen the
+    # small gathers to float64 (u16→f64 is exact, so values are
+    # bit-identical to converting the whole stack) — r8: the full-size
+    # fp64 copy was a 134 MB fresh allocation per 4096-image chunk, and
+    # on this host first-touch pages cost ~3 orders of magnitude more
+    # than the arithmetic (see knn_join._SCRATCH)
     J0, I0 = j0[:, None], i0[None, :]
-    v00 = g[:, J0, I0]
-    v10 = g[:, J0, I0 + 1]
-    v01 = g[:, J0 + 1, I0]
-    v11 = g[:, J0 + 1, I0 + 1]
+    v00 = stack[:, J0, I0].astype(np.float64)
+    v10 = stack[:, J0, I0 + 1].astype(np.float64)
+    v01 = stack[:, J0 + 1, I0].astype(np.float64)
+    v11 = stack[:, J0 + 1, I0 + 1].astype(np.float64)
     out = (1 - wy) * ((1 - wx) * v00 + wx * v10) + wy * (
         (1 - wx) * v01 + wx * v11
     )
@@ -404,13 +409,18 @@ def band_pixel_stats(images: DataFrame) -> DataFrame:
             ns = np.empty(m, np.int64)
             for ix, stack in _decode_shape_groups(pdf):
                 # integer reductions are order-insensitive — exact by
-                # construction, vectorized along axis 0
-                a = stack.astype(np.int64)
-                flat = a.reshape(len(ix), -1)
+                # construction, vectorized along axis 0. Accumulate in
+                # int64 WITHOUT materializing an int64 copy of the stack
+                # (r8: the astype + product temp were 2×134 MB of fresh
+                # allocation per chunk — first-touch pages dominate on
+                # this host, see knn_join._SCRATCH)
+                flat = stack.reshape(len(ix), -1)
                 mins[ix] = flat.min(axis=1).astype(np.int32)
                 maxs[ix] = flat.max(axis=1).astype(np.int32)
-                sums[ix] = flat.sum(axis=1)
-                sumsqs[ix] = (flat * flat).sum(axis=1)
+                sums[ix] = flat.sum(axis=1, dtype=np.int64)
+                sumsqs[ix] = np.einsum(
+                    "ij,ij->i", flat, flat, dtype=np.int64
+                )
                 ns[ix] = flat.shape[1]
             yield pd.DataFrame(
                 {
