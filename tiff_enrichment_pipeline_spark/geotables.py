@@ -61,6 +61,30 @@ DEM_STEP = DEM_TILE_DEG / DEM_N
 # images_geo
 # ---------------------------------------------------------------------------
 
+def _probe_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive probe partition count: ~one full Arrow batch
+    (16384 rows) per task, clamped to [1×, 4×] defaultParallelism.
+
+    Why not a constant (r8, measured at local[32]): at exactly 1
+    task/core the sf1.0 shape ran 3 Arrow batches per task and ONE
+    stalled worker stretched the stage ~30% — the 241M-pair
+    within_radius join read 7.5→26-28 s rep-over-rep at 32 tasks vs a
+    stable ~8 s at 96 (guide §2.6 stragglers); but a fixed 3× multiple
+    cut sf0.1 batches to ~1.5k rows and cost 1.7× in lost
+    vectorization amortization. Rows are estimated from the parquet
+    file size (~17 B/row for the orders key column set; estimation
+    error is absorbed by the clamp), so no job runs at plan-build
+    time."""
+    import os as _os
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        est_rows = _os.path.getsize(f"{sf_dir}/orders.parquet") // 17
+    except OSError:
+        return par
+    return min(max(par, int(est_rows // 16384)), 4 * par)
+
+
 def images_geo(
     spark: SparkSession, sf_dir: str, partitions: int | None = None
 ) -> DataFrame:
@@ -74,7 +98,7 @@ def images_geo(
     """
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     if partitions != 0:
-        o = o.repartition(partitions or spark.sparkContext.defaultParallelism)
+        o = o.repartition(partitions or _probe_partitions(spark, sf_dir))
     k = F.col("o_orderkey")
     u1 = ((k * MULT1) % MOD_U) / F.lit(float(MOD_U))
     u2 = ((k * MULT2) % MOD_U) / F.lit(float(MOD_U))
